@@ -1,0 +1,22 @@
+"""GELATO-TPU: TPU-native launch trajectory optimizer.
+
+A from-scratch JAX/XLA rebuild of the capabilities of istellartech/GELATO
+(multi-phase launch-vehicle trajectory optimization via Legendre-Gauss-Radau
+pseudospectral collocation).  Everything on the compute path is pure jittable
+JAX: constraint Jacobians come from AD instead of finite differences, and the
+NLP is solved by an on-device primal-dual interior-point method.
+
+Reference layer map: /root/reference (see SURVEY.md).  This package is an
+independent TPU-first re-design, not a port.
+"""
+
+import jax
+
+# Trajectory optimization at 1e-6 feasibility requires fp64 (SURVEY.md §7
+# design decision 1).  TPU fp64 is emulated; the win comes from batching and
+# staying on-device.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import ops  # noqa: E402,F401
