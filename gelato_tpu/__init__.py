@@ -10,12 +10,23 @@ Reference layer map: /root/reference (see SURVEY.md).  This package is an
 independent TPU-first re-design, not a port.
 """
 
+import os
+
 import jax
 
 # Trajectory optimization at 1e-6 feasibility requires fp64 (SURVEY.md §7
 # design decision 1).  TPU fp64 is emulated; the win comes from batching and
 # staying on-device.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the solver pieces (Hessian graph in
+# particular) take minutes to compile on a single-core host; cache them.
+_cache_dir = os.environ.get("GELATO_TPU_CACHE",
+                            os.path.expanduser("~/.cache/gelato_tpu_xla"))
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
 

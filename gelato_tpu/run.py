@@ -1,0 +1,116 @@
+"""CLI driver: ``python -m gelato_tpu.run settings.json``.
+
+End-to-end equivalent of ``python3 Trajectory_Optimization.py settings.json``
+(/root/reference/Trajectory_Optimization.py): load mission, build the NLP,
+generate the initial guess, solve on-device, and write
+``output/<name>-optResult.txt`` + ``output/<name>-trajectoryResult.csv``.
+"""
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def load_user_constraints(mission, settings_path):
+    """Import user_constraints.py next to the settings file, if present.
+
+    The reference hard-imports ``user_constraints`` from the CWD
+    (Trajectory_Optimization.py:42); here the module is optional and loaded
+    relative to the mission file.  It must define JAX-traceable
+    ``equality_user(ctx)`` / ``inequality_user(ctx)`` taking a
+    :class:`gelato_tpu.problem.UserContext`.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(settings_path)),
+                        "user_constraints.py")
+    if not os.path.exists(path):
+        return None, None
+    spec = importlib.util.spec_from_file_location("user_constraints", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return (getattr(mod, "equality_user", None),
+            getattr(mod, "inequality_user", None))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GELATO-TPU trajectory optimizer")
+    parser.add_argument("settings", help="mission settings JSON")
+    parser.add_argument("--output-dir", default="output")
+    parser.add_argument("--max-iter", type=int, default=None)
+    parser.add_argument("--tol", type=float, default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
+    parser.add_argument("--warm-start", default=None,
+                        help="primal-dual state file from a previous solve")
+    parser.add_argument("--save-state", default=None,
+                        help="write the final primal-dual state here")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from .config import load_mission
+    from .problem import Problem
+    from . import initial_guess as ig
+    from .solver import solve, IPOptions
+    from .solver.warm_start import load_state, save_state
+    from .output import output_result, result_summary
+
+    mission = load_mission(args.settings)
+    eq_user, ineq_user = load_user_constraints(mission, args.settings)
+    problem = Problem(mission, user_equality=eq_user, user_inequality=ineq_user)
+
+    print(f"GELATO-TPU | mission: {mission.name} | sections: {mission.num_sections} "
+          f"| N={problem.N} M={problem.M} vars={problem.n_z}")
+
+    z0 = ig.initial_guess(problem)
+
+    # solver options: accept the reference's IPOPT block for tol/max_iter
+    ipopt_opts = mission.solver_options.get("IPOPT", {})
+    gip_opts = mission.solver_options.get("GIP", {})
+    tol = args.tol or gip_opts.get("tol") or ipopt_opts.get("tol", 1e-6)
+    max_iter = args.max_iter or gip_opts.get("max_iter") or ipopt_opts.get("max_iter", 300)
+    opts = IPOptions(tol=tol, max_iter=int(max_iter))
+
+    funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
+             "ineq": problem.ineq_constraints}
+    lb, ub = problem.bounds()
+
+    warm = load_state(args.warm_start) if args.warm_start else None
+
+    t0 = time.time()
+    last = [t0]
+
+    def cb(k, st):
+        if time.time() - last[0] > 5.0 or k < 3:
+            last[0] = time.time()
+            print(f"  it={k:4d}  mu={float(st.mu):9.2e}  err={float(st.err0):9.3e}  "
+                  f"alpha={float(st.alpha):8.2e}  obj={float(funcs['obj'](st.z)):.6f}",
+                  flush=True)
+
+    st, info = solve(funcs, z0, lb, ub, opts, callback=cb, warm=warm)
+    info["optTime"] = time.time() - t0
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.save_state:
+        save_state(args.save_state, st)
+
+    lines = result_summary(problem, st.z, info, args.settings)
+    print("".join(lines[1:]))
+    with open(os.path.join(args.output_dir, f"{mission.name}-optResult.txt"), "w") as f:
+        f.write("".join(lines))
+
+    df = output_result(problem, np.asarray(st.z))
+    csv_path = os.path.join(args.output_dir, f"{mission.name}-trajectoryResult.csv")
+    df.to_csv(csv_path, index=False)
+    print(f"trajectory written to {csv_path}")
+    return 0 if info["converged"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,11 @@
+"""On-device NLP solvers."""
+
+from .ip import (  # noqa: F401
+    IPOptions,
+    IPState,
+    solve,
+    make_pieces,
+    init_state,
+    ip_iterate,
+    relaxed_bounds,
+)
