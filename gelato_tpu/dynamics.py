@@ -11,6 +11,7 @@ branch selection (lib/con_dynamics.py:257-286).
 import jax.numpy as jnp
 
 from .ops.aero import vel_air_eci, quatrot_inv_x
+from .ops.interp import interp1d_c1
 from .ops.atmosphere import airdensity_at, airpressure_at, speed_of_sound
 from .ops.gravity import gravityECI
 from .ops.quaternion import quatmult, normalize
@@ -29,7 +30,7 @@ def acceleration_eci(mass, pos_eci, vel_eci, quat, t, thrust_vac, air_area,
     rho = airdensity_at(altitude)
     p_amb = airpressure_at(altitude)
     mach = jnp.linalg.norm(va, axis=-1) / speed_of_sound(altitude)
-    ca = jnp.interp(mach, ca_table[:, 0], ca_table[:, 1])
+    ca = interp1d_c1(mach, ca_table[:, 0], ca_table[:, 1])
 
     has_air = air_area != 0.0
     aero = (
@@ -72,7 +73,7 @@ def state_rate(x, u3, t, thrust_vac, massflow, air_area, nozzle_area,
     p_amb = airpressure_at(altitude)
     va_norm = jnp.linalg.norm(va)
     mach = va_norm / speed_of_sound(altitude)
-    ca = jnp.interp(mach, ca_table[:, 0], ca_table[:, 1])
+    ca = interp1d_c1(mach, ca_table[:, 0], ca_table[:, 1])
 
     aero = 0.5 * rho * va_norm * (-va) * air_area * ca
     thrust = thrust_vac - nozzle_area * p_amb

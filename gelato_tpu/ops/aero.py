@@ -7,6 +7,7 @@ scalar C++ loops and their hand-written "array versions"
 
 import jax.numpy as jnp
 
+from .interp import interp1d_c1
 from .quaternion import quatrot, normalize
 from .earth import ecef2eci, eci2ecef, vel_eci2ecef, ecef2geodetic, quat_nedg2eci
 from .atmosphere import geopotential_altitude, airdensity_at
@@ -15,10 +16,11 @@ from .atmosphere import geopotential_altitude, airdensity_at
 def wind_ned(altitude_m, wind_table):
     """NED wind vector by linear interpolation of the (alt, wind_n, wind_e) table.
 
-    Parity: /root/reference/lib/utils.py:83-89 (down component always 0).
+    Parity: /root/reference/lib/utils.py:83-89 (down component always 0),
+    with C¹ corner smoothing (ops.interp) for Newton-friendly derivatives.
     """
-    wn = jnp.interp(altitude_m, wind_table[:, 0], wind_table[:, 1])
-    we = jnp.interp(altitude_m, wind_table[:, 0], wind_table[:, 2])
+    wn = interp1d_c1(altitude_m, wind_table[:, 0], wind_table[:, 1])
+    we = interp1d_c1(altitude_m, wind_table[:, 0], wind_table[:, 2])
     return jnp.stack([wn, we, jnp.zeros_like(wn)], axis=-1)
 
 

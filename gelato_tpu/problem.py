@@ -150,7 +150,16 @@ class Problem:
         ])
 
     def bounds(self):
-        """Variable box bounds (Trajectory_Optimization.py:318-352)."""
+        """Variable box bounds (Trajectory_Optimization.py:318-352).
+
+        One deliberate deviation: the launch knot time t0 is pinned to
+        time[0] by an *equality* (con_init_terminal_knot.py:135), and the
+        reference's t >= 0 box puts that pin exactly on the bound — a
+        degenerate setup that forces the interior-point bound dual to
+        mu/bound_relax (~1e5+) before stationarity can close.  Since the
+        equality dominates, the box on t0 is redundant; it is widened here so
+        the barrier stays benign.  The feasible set is unchanged.
+        """
         M, N, S = self.M, self.N, self.S
         lb = np.concatenate([
             np.full(M, 1.0e-9), np.full(3 * M, -10.0), np.full(3 * M, -20.0),
@@ -160,6 +169,9 @@ class Problem:
             np.full(M, 2.0), np.full(3 * M, 10.0), np.full(3 * M, 20.0),
             np.full(4 * M, 1.0), np.full(2 * N, 9.0), np.full(S + 1, 1.5),
         ])
+        t0_nominal = self.mission.events.time[0] / self.units.t
+        lb[self.off_t] = t0_nominal - 0.05
+        ub[self.off_t] = t0_nominal + 0.05
         return lb, ub
 
     # ------------------------------------------------------------------
@@ -267,8 +279,18 @@ class Problem:
 
     def _build_terminal(self):
         """Terminal energy/momentum/inclination targets
-        (lib/con_init_terminal_knot.py:329-372)."""
+        (lib/con_init_terminal_knot.py:329-372).
+
+        For *circular* targets the reference's (energy, momentum) pair is
+        tangentially degenerate — p = a(1-e²) has dp/de = 0 at e = 0, so the
+        two constraint gradients become linearly dependent at the solution
+        and the multipliers blow up (LICQ failure; IPOPT survives it through
+        dual regularization).  This rebuild switches to the equivalent
+        full-rank formulation {|r| = R, r·v = 0, |v| = v_circ} when
+        perigee == apogee; the feasible set is identical.
+        """
         cond = self.mission.terminal
+        self.terminal_circular = False
         if (cond.get("altitude_perigee") is not None
                 and cond.get("altitude_apogee") is not None):
             hp, ha = cond["altitude_perigee"], cond["altitude_apogee"]
@@ -276,12 +298,22 @@ class Problem:
             a = (ra + rp) / 2.0
             self.c_target = rp * np.sqrt(GM * (2.0 / rp - 1.0 / a))
             self.e_target = -GM / 2.0 / a
+            if abs(ha - hp) < 1.0:
+                self.terminal_circular = True
+                self.r_target = rp
+                self.v_target = np.sqrt(GM / rp)
         else:
             self.c_target = cond["radius"] * cond["vel_tangential_geocentric"]
             vf = cond["vel_tangential_geocentric"] / np.cos(
                 np.radians(cond["flightpath_vel_inertial_geocentric"])
             )
             self.e_target = vf**2 / 2.0 - GM / cond["radius"]
+            if abs(float(cond.get("flightpath_vel_inertial_geocentric", 0.0))) < 1e-12:
+                e_ecc_sq = 1.0 + 2.0 * self.e_target * self.c_target**2 / GM**2
+                if abs(e_ecc_sq) < 1e-9:  # circular via radius+velocity
+                    self.terminal_circular = True
+                    self.r_target = float(cond["radius"])
+                    self.v_target = float(cond["vel_tangential_geocentric"])
         self.inclination_target = cond.get("inclination")
 
     def _build_aero_rows(self):
@@ -499,10 +531,18 @@ class Problem:
         # transcendental path.
         pv = jnp.stack([v.pos[-1] * un.position, v.vel[-1] * un.velocity])
         r_f, v_f = pv[0], pv[1]
-        e = 0.5 * jnp.sum(v_f * v_f) - GM / jnp.linalg.norm(r_f)
         h_vec = jnp.cross(r_f, v_f)
         c = jnp.linalg.norm(h_vec)
-        term = [e / self.e_target - 1.0, c / self.c_target - 1.0]
+        if self.terminal_circular:
+            # full-rank circular-orbit rows (see _build_terminal)
+            term = [
+                jnp.linalg.norm(r_f) / self.r_target - 1.0,
+                jnp.sum(r_f * v_f) / (self.r_target * self.v_target),
+                jnp.linalg.norm(v_f) / self.v_target - 1.0,
+            ]
+        else:
+            e = 0.5 * jnp.sum(v_f * v_f) - GM / jnp.linalg.norm(r_f)
+            term = [e / self.e_target - 1.0, c / self.c_target - 1.0]
         if self.inclination_target is not None:
             inc = jnp.arccos(jnp.clip(h_vec[2] / c, -1.0, 1.0))
             term.append(inc - np.radians(self.inclination_target))

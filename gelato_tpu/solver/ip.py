@@ -6,29 +6,36 @@ solver so the entire optimize loop stays on the accelerator:
 
   minimize f(z)   s.t.  cE(z) = 0,  cI(z) ≥ 0,  l ≤ z ≤ u
 
+Algorithm (Wächter-Biegler, the method IPOPT implements, re-derived for a
+condensed dense KKT system):
+
 * slack variables s > 0 for the inequalities, log-barrier on s and on both
   box-bound gaps, monotone Fiacco-McCormick barrier reduction;
 * exact Hessian of the Lagrangian via forward-over-reverse AD — the
   reference's hand-written sparse COO Jacobians and FD blocks
-  (lib/jac_fd.py, lib/con_dynamics.py:292-496) are replaced by one jacfwd;
+  (lib/jac_fd.py, lib/con_dynamics.py:292-496) become one jacfwd;
+* gradient-based constraint/objective scaling, least-squares multiplier
+  initialization, slack reset for lagging inequalities;
 * the inequality block is condensed into the Hessian (mI is small), leaving
-  a symmetric (n + mE) KKT system factored densely — batched fp64 LU is the
-  dominant per-iteration cost and maps well onto the TPU;
-* fraction-to-boundary rule, ℓ1-merit backtracking line search, Levenberg
-  inertia regularization adapted across iterations, and primal-dual warm
-  start.
+  a symmetric (n + mE) KKT system factored once per iteration by dense LU —
+  the factors are reused for second-order corrections;
+* fraction-to-boundary rule, filter line search **with memory**, second-order
+  correction, inertia correction by adaptive primal regularization with
+  μ-scaled dual regularization in recovery mode.
 
 The solver is compiled as several independently jitted pieces (residuals +
-Jacobians, Hessian, KKT solve + direction, line search, update) orchestrated
-by a tiny host loop: one fully fused step sends XLA compile time superlinear,
-while the pieces compile in ~2 minutes total and keep all heavy math
-on-device.
+Jacobians, Hessian, KKT factor + direction, trial evaluation, update)
+orchestrated by a small host loop: one fully fused step sends XLA compile
+time superlinear on this toolchain, while the pieces compile in ~2 minutes
+total and keep all heavy math on-device.  A fully fused, vmappable step
+(without filter memory) is provided for batched dispersion solves.
 """
 
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 import numpy as np
 
 
@@ -41,22 +48,33 @@ class IPOptions(NamedTuple):
     kappa_eps: float = 10.0  # barrier subproblem tolerance factor
     tau_min: float = 0.99  # fraction-to-boundary floor
     s_max: float = 100.0  # scaling threshold for the optimality error
-    eta: float = 1.0e-4  # Armijo constant
-    max_ls: int = 25  # backtracking steps
+    eta: float = 1.0e-8  # Armijo constant (IPOPT eta_phi)
+    max_ls: int = 20  # backtracking steps
+    max_soc: int = 3  # second-order correction attempts
+    kappa_soc: float = 0.99  # SOC progress requirement
+    gamma_theta: float = 1.0e-5  # filter margins
+    gamma_phi: float = 1.0e-5
+    s_phi: float = 2.3  # switching condition exponents (IPOPT)
+    s_theta: float = 1.1
+    delta_sw: float = 1.0
     delta_w_init: float = 1.0e-8
     delta_w_max: float = 1.0e12
+    # persistent Hessian regularization floor: damps zero-curvature control
+    # subspaces (e.g. body rates entering only bilinear defect rows)
+    delta_w_floor: float = 0.0
     # Equality-row regularization is 0 by default: a nonzero delta_c leaks
-    # delta_c*dyE into the linearized constraint, which with large (legitimate)
-    # duals walks the iterate off the constraint manifold.  It is enabled
-    # adaptively only while in recovery mode (delta_w > 0).
+    # delta_c*dyE into the linearized constraint.  In recovery mode it becomes
+    # IPOPT's mu-scaled value, bounding multipliers of dependent rows.
     delta_c: float = 0.0
-    delta_c_fallback: float = 1.0e-12
+    delta_c_bar: float = 1.0e-8
+    kappa_c: float = 0.25
     bound_relax: float = 1.0e-8
     bound_push: float = 1.0e-2
     slack_min: float = 1.0e-8
-    nu_init: float = 1.0  # merit penalty
     kappa_sigma: float = 1.0e10  # dual safeguard box
     max_iter: int = 300
+    scale: bool = True  # gradient-based constraint/objective scaling
+    scale_max: float = 100.0
 
 
 class IPState(NamedTuple):
@@ -68,11 +86,42 @@ class IPState(NamedTuple):
     zU: jnp.ndarray
     mu: jnp.ndarray
     delta_w: jnp.ndarray
-    nu: jnp.ndarray
+    nu: jnp.ndarray  # kept for warm-start compat (unused by the filter LS)
     err0: jnp.ndarray
     alpha: jnp.ndarray
     it: jnp.ndarray
     converged: jnp.ndarray
+
+
+class Filter:
+    """Wächter-Biegler (θ, φ) filter with margins (IPOPT eq. 22-23)."""
+
+    def __init__(self, theta0, gamma_theta=1e-5, gamma_phi=1e-5):
+        self.gt = gamma_theta
+        self.gp = gamma_phi
+        self.theta_max = 1.0e4 * max(1.0, theta0)
+        self.theta_min = 1.0e-4 * max(1.0, theta0)
+        self.entries = []  # list of (theta_bound, phi_bound)
+
+    def acceptable(self, theta, phi):
+        if not (np.isfinite(theta) and np.isfinite(phi)):
+            return False
+        if theta > self.theta_max:
+            return False
+        for tj, pj in self.entries:
+            if theta >= tj and phi >= pj:
+                return False
+        return True
+
+    def add(self, theta, phi):
+        tb = (1.0 - self.gt) * theta
+        pb = phi - self.gp * theta
+        self.entries = [(tj, pj) for tj, pj in self.entries
+                        if tj < tb or pj < pb]
+        self.entries.append((tb, pb))
+
+    def reset(self):
+        self.entries = []
 
 
 def _push_inside(z, lb, ub, kappa):
@@ -95,8 +144,8 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
 
     Slacks are floored at O(mu) so near-active inequalities do not spawn
     huge initial multipliers, and the equality multipliers start from the
-    least-squares estimate  min ||JE^T y + (∇f - zL + zU)||  (IPOPT's
-    mu-independent initialization).
+    least-squares estimate  min ||JE^T y + (∇f - zL + zU)||  capped at
+    IPOPT's constr_mult_init_max.
     """
     z = _push_inside(jnp.asarray(z0), lb, ub, opts.bound_push)
     cI = funcs["ineq"](z)
@@ -114,17 +163,15 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
         mE = JE.shape[0]
         gram = JE @ JE.T + 1.0e-8 * jnp.eye(mE)
         yE = jnp.linalg.solve(gram, JE @ rhs_ls)
-        # fall back to zero when the estimate is extreme (IPOPT does too)
-        yE = jnp.where(jnp.max(jnp.abs(yE), initial=0.0) > 1.0e8,
+        yE = jnp.where(jnp.max(jnp.abs(yE), initial=0.0) > 1.0e3,
                        jnp.zeros_like(yE), yE)
         yE = jnp.where(jnp.all(jnp.isfinite(yE)), yE, jnp.zeros_like(yE))
     else:
-        mE = funcs["eq"](z).shape[0]
-        yE = jnp.zeros(mE)
+        yE = jnp.zeros(funcs["eq"](z).shape[0])
 
     return IPState(
         z=z, s=s, yE=yE, lam=lam, zL=zL, zU=zU, mu=mu,
-        delta_w=jnp.asarray(0.0), nu=jnp.asarray(opts.nu_init),
+        delta_w=jnp.asarray(0.0), nu=jnp.asarray(1.0),
         err0=jnp.asarray(jnp.inf), alpha=jnp.asarray(0.0),
         it=jnp.asarray(0), converged=jnp.asarray(False),
     )
@@ -160,6 +207,38 @@ def _max_alpha(v, dv, tau):
     return jnp.minimum(1.0, jnp.min(ratio, initial=jnp.inf))
 
 
+def scale_funcs(funcs, z0, scale_max=100.0):
+    """IPOPT-style gradient-based scaling.
+
+    Each constraint row and the objective are scaled so the largest gradient
+    entry at the starting point is at most ``scale_max``
+    (nlp_scaling_method=gradient-based).  Returns scaled funcs plus the scale
+    vectors (needed to unscale multipliers for reporting).
+    """
+    z0 = jnp.asarray(z0)
+    g0 = jax.grad(funcs["obj"])(z0)
+    JE0 = jax.jacfwd(funcs["eq"])(z0)
+    JI0 = jax.jacfwd(funcs["ineq"])(z0)
+
+    def row_scale(J):
+        m = jnp.max(jnp.abs(J), axis=1) if J.size else jnp.zeros(J.shape[0])
+        return jnp.minimum(1.0, scale_max / jnp.maximum(m, 1e-30))
+
+    dE = np.asarray(row_scale(JE0))
+    dI = np.asarray(row_scale(JI0))
+    df = float(min(1.0, scale_max / max(float(jnp.max(jnp.abs(g0))), 1e-30)))
+    dE_j = jnp.asarray(dE)
+    dI_j = jnp.asarray(dI)
+
+    obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
+    scaled = {
+        "obj": lambda z: df * obj(z),
+        "eq": lambda z: dE_j * eq(z),
+        "ineq": lambda z: dI_j * ineq(z),
+    }
+    return scaled, dict(obj=df, eq=dE, ineq=dI)
+
+
 def make_pieces(funcs, lb, ub, opts: IPOptions):
     """Build the jitted compute pieces over *relaxed* bounds."""
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
@@ -174,7 +253,32 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
 
     eval_hess = jax.jacfwd(jax.grad(lagrangian))
 
+    def _finish(st, cI, JI, g, mu, dz, dyE):
+        """Dependent directions + step limits + descent info for a primal dz."""
+        z, s = st.z, st.s
+        rI = cI - s
+        dl = z - lb
+        du = ub - z
+        sigma_s = st.lam / s
+        ds = JI @ dz + rI
+        dlam = (mu / s - st.lam) - sigma_s * ds
+        dzL = mu / dl - st.zL - (st.zL / dl) * dz
+        dzU = mu / du - st.zU + (st.zU / du) * dz
+        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
+        alpha_max = jnp.minimum(
+            _max_alpha(s, ds, tau),
+            jnp.minimum(_max_alpha(dl, dz, tau), _max_alpha(du, -dz, tau)))
+        alpha_dual = jnp.minimum(
+            _max_alpha(st.lam, dlam, tau),
+            jnp.minimum(_max_alpha(st.zL, dzL, tau),
+                        _max_alpha(st.zU, dzU, tau)))
+        dphi = (g @ dz
+                - mu * (jnp.sum(ds / s) + jnp.sum(dz / dl) - jnp.sum(dz / du)))
+        return dict(dz=dz, dyE=dyE, ds=ds, dlam=dlam, dzL=dzL, dzU=dzU,
+                    alpha_max=alpha_max, alpha_dual=alpha_dual, dphi=dphi)
+
     def direction(st: IPState, g, cE, cI, JE, JI, W, mu):
+        """Factor the condensed KKT matrix and compute the Newton direction."""
         z, s = st.z, st.s
         rI = cI - s
         dl = z - lb
@@ -184,48 +288,43 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         n = z.shape[0]
         mE = cE.shape[0]
 
-        H = (W + jnp.diag(sigma_z) + st.delta_w * jnp.eye(n)
+        H = (W + jnp.diag(sigma_z)
+             + (st.delta_w + opts.delta_w_floor) * jnp.eye(n)
              + JI.T @ (sigma_s[:, None] * JI))
         rd = g + JE.T @ st.yE - JI.T @ st.lam - mu / dl + mu / du
         r_cond = JI.T @ ((mu / s - st.lam) - sigma_s * rI)
-        rhs = jnp.concatenate([-(rd - r_cond), -cE])
+        rhs_primal = -(rd - r_cond)
 
-        delta_c = jnp.where(st.delta_w > 0.0, opts.delta_c_fallback, opts.delta_c)
+        # IPOPT-style dual regularization, active only in recovery mode
+        delta_c = jnp.where(st.delta_w > 0.0,
+                            opts.delta_c_bar * mu ** opts.kappa_c,
+                            opts.delta_c)
         K = jnp.zeros((n + mE, n + mE))
         K = K.at[:n, :n].set(H)
         K = K.at[:n, n:].set(JE.T)
         K = K.at[n:, :n].set(JE)
         K = K.at[n:, n:].set(-delta_c * jnp.eye(mE))
-        sol = jnp.linalg.solve(K, rhs)
+        lu, piv = jsl.lu_factor(K)
+        sol = jsl.lu_solve((lu, piv), jnp.concatenate([rhs_primal, -cE]))
         dz, dyE = sol[:n], sol[n:]
-        ds = JI @ dz + rI
-        dlam = (mu / s - st.lam) - sigma_s * ds
-        dzL = mu / dl - st.zL - (st.zL / dl) * dz
-        dzU = mu / du - st.zU + (st.zU / du) * dz
         solve_ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE))
-
-        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
-        alpha_max = jnp.minimum(
-            _max_alpha(s, ds, tau),
-            jnp.minimum(_max_alpha(dl, dz, tau), _max_alpha(du, -dz, tau)),
-        )
-        alpha_dual = jnp.minimum(
-            _max_alpha(st.lam, dlam, tau),
-            jnp.minimum(_max_alpha(st.zL, dzL, tau), _max_alpha(st.zU, dzU, tau)),
-        )
-
-        theta = jnp.sum(jnp.abs(cE)) + jnp.sum(jnp.abs(rI))
-        # directional derivative of the barrier objective (no penalty term —
-        # acceptance follows the Wächter-Biegler either/or rule)
-        dphi = (g @ dz
-                - mu * (jnp.sum(ds / s) + jnp.sum(dz / dl) - jnp.sum(dz / du)))
-        # cheap inertia proxy: the condensed Hessian must have positive
-        # curvature along the primal step, else the regularization grows
         curv = dz @ (H @ dz)
         curv_ok = curv > 1.0e-14 * (dz @ dz)
-        return dict(dz=dz, dyE=dyE, ds=ds, dlam=dlam, dzL=dzL, dzU=dzU,
-                    solve_ok=solve_ok, curv_ok=curv_ok, alpha_max=alpha_max,
-                    alpha_dual=alpha_dual, nu=st.nu, dphi=dphi, theta=theta)
+
+        d = _finish(st, cI, JI, g, mu, dz, dyE)
+        d.update(solve_ok=solve_ok, curv_ok=curv_ok, lu=lu, piv=piv,
+                 rhs_primal=rhs_primal)
+        return d
+
+    def soc_direction(st: IPState, g, cI, JI, mu, lu, piv, rhs_primal, c_soc):
+        """Second-order correction: reuse the LU factors with the corrected
+        equality right-hand side (IPOPT algorithm step A-5.7)."""
+        n = st.z.shape[0]
+        sol = jsl.lu_solve((lu, piv), jnp.concatenate([rhs_primal, -c_soc]))
+        dz, dyE = sol[:n], sol[n:]
+        d = _finish(st, cI, JI, g, mu, dz, dyE)
+        d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
+        return d
 
     def phi_theta(z, s, mu):
         """Barrier objective and constraint violation at a point."""
@@ -234,49 +333,16 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         theta = jnp.sum(jnp.abs(eq(z))) + jnp.sum(jnp.abs(ineq(z) - s))
         return obj(z) - mu * bar, theta
 
-    def linesearch(z, s, dz, ds, alpha_max, mu, dphi):
-        """Wächter-Biegler-style acceptance (filter logic without memory):
-
-        * Armijo decrease of the barrier objective when the direction is a
-          descent direction and the violation is already small, OR
-        * sufficient progress in violation or barrier objective otherwise.
-        """
-        phi0, theta0 = phi_theta(z, s, mu)
-        gamma_t = 1.0e-5
-        gamma_p = 1.0e-5
-        theta_small = 1.0e-8 * jnp.maximum(1.0, theta0)
-        switching = (dphi < 0.0) & (theta0 <= 1.0e-6)
-
-        def body(carry):
-            alpha, done, best, k = carry
-            z_t = z + alpha * alpha_max * dz
-            s_t = s + alpha * alpha_max * ds
-            phi_t, theta_t = phi_theta(z_t, s_t, mu)
-            armijo = ((dphi < 0.0)
-                      & (phi_t <= phi0 + opts.eta * alpha * alpha_max * dphi))
-            # strict inequalities: with theta0 == 0 progress degenerates to a
-            # strict decrease requirement instead of accepting any step
-            progress = ((theta_t < (1.0 - gamma_t) * theta0)
-                        | (phi_t < phi0 - gamma_p * theta0))
-            ok = jnp.isfinite(phi_t) & jnp.isfinite(theta_t) & jnp.where(
-                switching, armijo, armijo | progress)
-            best = jnp.where(ok & ~done, alpha, best)
-            return (alpha * 0.5, done | ok, best, k + 1)
-
-        def cond(carry):
-            _, done, _, k = carry
-            return (~done) & (k < opts.max_ls)
-
-        _, ok, alpha_rel, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.asarray(1.0), jnp.asarray(False), jnp.asarray(0.0),
-             jnp.asarray(0)))
-        return ok, alpha_rel
+    def trial(z, s, dz, ds, alpha, mu):
+        """Evaluate a trial point: (phi_t, theta_t, cE_t)."""
+        z_t = z + alpha * dz
+        s_t = s + alpha * ds
+        phi_t, theta_t = phi_theta(z_t, s_t, mu)
+        return phi_t, theta_t, eq(z_t)
 
     def apply_step(st: IPState, d, alpha, accept, mu, err0):
         z_new = st.z + alpha * d["dz"]
         s_new = jnp.maximum(st.s + alpha * d["ds"], 1e-300)
-        # duals take the full fraction-to-boundary-limited step when accepted
         a_dual = jnp.where(accept, d["alpha_dual"], 0.0)
         yE_new = st.yE + alpha * d["dyE"]
         lam_new = st.lam + a_dual * d["dlam"]
@@ -289,13 +355,6 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         zU_new = jnp.clip(zU_new, mu / (ks * du), ks * mu / du)
         lam_new = jnp.clip(lam_new, mu / (ks * s_new), ks * mu / s_new)
 
-        delta_w = jnp.where(
-            accept,
-            jnp.where(st.delta_w > opts.delta_w_init, st.delta_w / 3.0, 0.0),
-            jnp.maximum(opts.delta_w_init, st.delta_w * 10.0),
-        )
-        delta_w = jnp.minimum(delta_w, opts.delta_w_max)
-
         return IPState(
             z=jnp.where(accept, z_new, st.z),
             s=jnp.where(accept, s_new, st.s),
@@ -303,7 +362,7 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
             lam=jnp.where(accept, lam_new, st.lam),
             zL=jnp.where(accept, zL_new, st.zL),
             zU=jnp.where(accept, zU_new, st.zU),
-            mu=mu, delta_w=delta_w, nu=d["nu"], err0=err0,
+            mu=mu, delta_w=st.delta_w, nu=st.nu, err0=err0,
             alpha=jnp.where(accept, alpha, 0.0), it=st.it + 1,
             converged=err0 <= opts.tol,
         )
@@ -311,50 +370,150 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
     def errors(st: IPState, g, cE, cI, JE, JI):
         return _kkt_errors(g, JE, JI, cE, cI - st.s, st, lb, ub, st.mu, opts)
 
+    def slack_reset(st: IPState, cI):
+        """Raise lagging slacks to the constraint value (Knitro-style reset);
+        multipliers recentered so complementarity stays on target."""
+        reset = cI > st.s
+        s_new = jnp.where(reset, cI, st.s)
+        lam_new = jnp.where(reset, st.mu / s_new, st.lam)
+        return st._replace(s=s_new, lam=lam_new)
+
     raw = dict(eval_point=eval_point, eval_hess=eval_hess,
-               direction=direction, linesearch=linesearch,
-               apply_step=apply_step, errors=errors)
+               direction=direction, soc_direction=soc_direction,
+               phi_theta=phi_theta, trial=trial,
+               apply_step=apply_step, errors=errors, slack_reset=slack_reset)
     pieces = {k: jax.jit(v) for k, v in raw.items()}
     pieces["raw"] = raw
     return pieces
 
 
-def ip_iterate(pieces, st: IPState, opts: IPOptions):
-    """One IP iteration, orchestrated on host (all math on device)."""
+_LS_DEBUG = False
+
+
+def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
+    """Host-side backtracking with filter memory and second-order correction.
+
+    Returns (accepted, alpha, d_used, used_armijo).
+    """
+    z, s = st.z, st.s
+    alpha_max = float(d["alpha_max"])
+    dphi = float(d["dphi"])
+    if _LS_DEBUG:
+        print(f"    LS: theta0={theta0:.3e} phi0={phi0:.6f} dphi={dphi:.3e} "
+              f"alpha_max={alpha_max:.3e} filter={len(filt.entries)}")
+    alpha_rel = 1.0
+    for k in range(opts.max_ls):
+        alpha = alpha_rel * alpha_max
+        phi_t, theta_t, cE_t = pieces["trial"](z, s, d["dz"], d["ds"],
+                                               jnp.asarray(alpha), mu)
+        phi_t, theta_t = float(phi_t), float(theta_t)
+
+        def acceptance(phi_t, theta_t, alpha):
+            switching = (dphi < 0.0 and
+                         alpha * (-dphi) ** opts.s_phi
+                         > opts.delta_sw * theta0 ** opts.s_theta)
+            armijo = (dphi < 0.0
+                      and phi_t <= phi0 + opts.eta * alpha * dphi)
+            progress = (theta_t < (1.0 - opts.gamma_theta) * theta0
+                        or phi_t < phi0 - opts.gamma_phi * theta0)
+            if theta0 <= filt.theta_min and switching:
+                ok = armijo
+            else:
+                ok = progress or (switching and armijo)
+            return ok and filt.acceptable(theta_t, phi_t), armijo and switching
+
+        ok, by_armijo = acceptance(phi_t, theta_t, alpha)
+        if _LS_DEBUG and k < 4:
+            print(f"      k={k} a={alpha:.3e} theta_t={theta_t:.3e} "
+                  f"phi_t={phi_t:.6f} ok={ok} armijo_rhs="
+                  f"{phi0 + opts.eta * alpha * dphi:.6f} "
+                  f"filter_ok={filt.acceptable(theta_t, phi_t)}")
+        if ok:
+            return True, alpha, d, by_armijo
+
+        # Second-order correction on the *first* trial when infeasibility grew
+        if k == 0 and theta_t >= theta0 and opts.max_soc > 0:
+            c_soc = jnp.asarray(alpha_max) * cE + cE_t
+            theta_prev = theta_t
+            for p in range(opts.max_soc):
+                d_soc = pieces["soc_direction"](
+                    st, d["g"], d["cI"], d["JI"], mu, d["lu"], d["piv"],
+                    d["rhs_primal"], c_soc)
+                if not bool(d_soc["solve_ok"]):
+                    break
+                a_soc = float(d_soc["alpha_max"])
+                phi_c, theta_c, cE_c = pieces["trial"](
+                    z, s, d_soc["dz"], d_soc["ds"], jnp.asarray(a_soc), mu)
+                phi_c, theta_c = float(phi_c), float(theta_c)
+                ok_c, by_armijo_c = acceptance(phi_c, theta_c, a_soc)
+                if _LS_DEBUG:
+                    print(f"      soc{p} a={a_soc:.3e} theta={theta_c:.3e} "
+                          f"phi={phi_c:.6f} ok={ok_c}")
+                if ok_c:
+                    return True, a_soc, d_soc, by_armijo_c
+                if theta_c > opts.kappa_soc * theta_prev:
+                    break  # SOC not helping
+                theta_prev = theta_c
+                c_soc = jnp.asarray(a_soc) * c_soc + cE_c
+
+        alpha_rel *= 0.5
+    return False, 0.0, d, False
+
+
+def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None):
+    """One IP iteration, orchestrated on host (all heavy math on device)."""
     f, g, cE, cI, JE, JI = pieces["eval_point"](st.z)
+    st = pieces["slack_reset"](st, cI)
     err_mu, err0 = pieces["errors"](st, g, cE, cI, JE, JI)
 
-    # monotone Fiacco-McCormick barrier update (host scalar logic)
+    # monotone Fiacco-McCormick barrier update
     mu = float(st.mu)
-    if float(err_mu) <= opts.kappa_eps * mu:
+    if float(err_mu) <= opts.kappa_eps * mu and mu > opts.mu_min:
         mu = max(opts.mu_min, min(opts.kappa_mu * mu, mu ** opts.theta_mu))
+        if filt is not None:
+            filt.reset()  # new barrier subproblem: fresh filter (IPOPT)
     mu_j = jnp.asarray(mu)
     st = st._replace(mu=mu_j)
 
+    if filt is None:
+        filt = Filter(1.0)
+
+    phi0, theta0 = pieces["phi_theta"](st.z, st.s, mu_j)
+    phi0, theta0 = float(phi0), float(theta0)
+
     W = pieces["eval_hess"](st.z, st.yE, st.lam)
 
-    # within-iteration inertia correction: retry the (cheap) KKT solve with
-    # growing Hessian regularization until the direction has positive
-    # curvature and the line search accepts (IPOPT algorithm IC)
+    # inertia correction: retry the (cheap) KKT solve with growing Hessian
+    # regularization until the direction has positive curvature and the
+    # filter line search accepts
     delta = float(st.delta_w)
-    accept, alpha, d = False, 0.0, None
+    accepted, alpha, d_used = False, 0.0, None
     for _ in range(15):
         st_try = st._replace(delta_w=jnp.asarray(delta))
         d = pieces["direction"](st_try, g, cE, cI, JE, JI, W, mu_j)
+        d["g"], d["cI"], d["JI"] = g, cI, JI
         if bool(d["solve_ok"]) and bool(d["curv_ok"]):
-            ls_ok, alpha_rel = pieces["linesearch"](
-                st.z, st.s, d["dz"], d["ds"], d["alpha_max"], mu_j, d["dphi"])
-            if bool(ls_ok):
-                accept = True
-                alpha = float(alpha_rel) * float(d["alpha_max"])
+            accepted, alpha, d_used, by_armijo = _filter_linesearch(
+                pieces, st, d, mu_j, cE, phi0, theta0, filt, opts)
+            if accepted:
+                if not by_armijo:
+                    filt.add(theta0, phi0)
                 break
         delta = opts.delta_w_init if delta == 0.0 else delta * 10.0
         if delta > opts.delta_w_max:
             break
 
-    st = st._replace(delta_w=jnp.asarray(delta))
-    st = pieces["apply_step"](st, d, jnp.asarray(alpha),
-                              jnp.asarray(accept), mu_j, err0)
+    # regularization bookkeeping: decay on success, keep on failure
+    if accepted:
+        delta_next = 0.0 if delta <= opts.delta_w_init else delta / 3.0
+    else:
+        delta_next = min(max(delta, opts.delta_w_init) * 10.0,
+                         opts.delta_w_max)
+        d_used = d  # unused direction (alpha = 0)
+
+    st = st._replace(delta_w=jnp.asarray(delta_next))
+    st = pieces["apply_step"](st, d_used, jnp.asarray(alpha),
+                              jnp.asarray(accepted), mu_j, err0)
     return st
 
 
@@ -363,13 +522,18 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     """Host-driven solve (single problem).  Returns (state, info)."""
     from .warm_start import apply_warm
 
+    scales = None
+    if opts.scale:
+        problem_funcs, scales = scale_funcs(problem_funcs, z0, opts.scale_max)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
     pieces = make_pieces(problem_funcs, lbr, ubr, opts)
     st = init_state(problem_funcs, z0, lbr, ubr, opts)
     st = apply_warm(st, warm)
+    _, theta_init = pieces["phi_theta"](st.z, st.s, st.mu)
+    filt = Filter(float(theta_init), opts.gamma_theta, opts.gamma_phi)
     history = []
     for k in range(opts.max_iter):
-        st = ip_iterate(pieces, st, opts)
+        st = ip_iterate(pieces, st, opts, filt)
         if callback is not None:
             callback(k, st)
         history.append((float(st.err0), float(st.mu), float(st.alpha)))
@@ -380,43 +544,83 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
         "converged": bool(st.converged),
         "err": float(st.err0),
         "history": history,
+        "scales": scales,
     }
     return st, info
 
 
-def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions()):
+def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
+                    z0_scale_ref=None):
     """Fully on-device single-iteration step (vmappable, for batched solves).
 
-    Same math as :func:`ip_iterate` but with the barrier update and
-    accept/reject logic expressed as device ops, so a whole dispersion batch
-    advances in lock-step under one ``vmap`` (each lane carries its own mu,
-    regularization, and convergence flag; converged lanes become no-ops).
+    Same core math as :func:`ip_iterate` but with the barrier update and
+    accept/reject logic as device ops and a memoryless acceptance rule, so a
+    whole dispersion batch advances in lock-step under one ``vmap``.
+    Converged lanes freeze.  ``z0_scale_ref``: reference point for
+    gradient-based scaling (shared by every lane of a batch).
     """
+    if opts.scale and z0_scale_ref is not None:
+        funcs, _ = scale_funcs(funcs, z0_scale_ref, opts.scale_max)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
     raw = make_pieces(funcs, lbr, ubr, opts)["raw"]
 
+    def linesearch_device(z, s, d, mu, phi0, theta0):
+        """Memoryless filter-style backtracking as a while_loop."""
+
+        def body(carry):
+            alpha_rel, done, best, k = carry
+            alpha = alpha_rel * d["alpha_max"]
+            phi_t, theta_t, _ = raw["trial"](z, s, d["dz"], d["ds"], alpha, mu)
+            dphi = d["dphi"]
+            armijo = (dphi < 0.0) & (phi_t <= phi0 + opts.eta * alpha * dphi)
+            progress = ((theta_t < (1.0 - opts.gamma_theta) * theta0)
+                        | (phi_t < phi0 - opts.gamma_phi * theta0))
+            switching = (dphi < 0.0) & (
+                alpha * (-dphi) ** opts.s_phi
+                > opts.delta_sw * theta0 ** opts.s_theta)
+            small_theta = theta0 <= 1.0e-4
+            ok = jnp.isfinite(phi_t) & jnp.where(
+                small_theta & switching, armijo, progress | (switching & armijo))
+            best = jnp.where(ok & ~done, alpha_rel, best)
+            return (alpha_rel * 0.5, done | ok, best, k + 1)
+
+        def cond(carry):
+            _, done, _, k = carry
+            return (~done) & (k < opts.max_ls)
+
+        _, ok, alpha_rel, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1.0), jnp.asarray(False),
+                         jnp.asarray(0.0), jnp.asarray(0)))
+        return ok, alpha_rel
+
     def step(st: IPState) -> IPState:
+        frozen = st.converged
         f, g, cE, cI, JE, JI = raw["eval_point"](st.z)
-        err_mu, err0 = raw["errors"](st, g, cE, cI, JE, JI)
+        st_r = raw["slack_reset"](st, cI)
+        err_mu, err0 = raw["errors"](st_r, g, cE, cI, JE, JI)
         mu = jnp.where(
-            err_mu <= opts.kappa_eps * st.mu,
+            (err_mu <= opts.kappa_eps * st_r.mu) & (st_r.mu > opts.mu_min),
             jnp.maximum(opts.mu_min,
-                        jnp.minimum(opts.kappa_mu * st.mu,
-                                    st.mu ** opts.theta_mu)),
-            st.mu,
-        )
-        st = st._replace(mu=mu)
-        W = raw["eval_hess"](st.z, st.yE, st.lam)
-        d = raw["direction"](st, g, cE, cI, JE, JI, W, mu)
-        ls_ok, alpha_rel = raw["linesearch"](
-            st.z, st.s, d["dz"], d["ds"], d["alpha_max"], mu, d["dphi"])
+                        jnp.minimum(opts.kappa_mu * st_r.mu,
+                                    st_r.mu ** opts.theta_mu)),
+            st_r.mu)
+        st_r = st_r._replace(mu=mu)
+        phi0, theta0 = raw["phi_theta"](st_r.z, st_r.s, mu)
+        W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam)
+        d = raw["direction"](st_r, g, cE, cI, JE, JI, W, mu)
+        ls_ok, alpha_rel = linesearch_device(st_r.z, st_r.s, d, mu, phi0, theta0)
         accept = d["solve_ok"] & d["curv_ok"] & ls_ok
         alpha = jnp.where(accept, alpha_rel * d["alpha_max"], 0.0)
-        new = raw["apply_step"](st, d, alpha, accept, mu, err0)
-        # converged lanes freeze (keeps vmapped batches running cheaply)
-        frozen = st.converged
+        delta_next = jnp.where(
+            accept,
+            jnp.where(st_r.delta_w > opts.delta_w_init, st_r.delta_w / 3.0, 0.0),
+            jnp.minimum(jnp.maximum(st_r.delta_w, opts.delta_w_init) * 10.0,
+                        opts.delta_w_max))
+        st_r = st_r._replace(delta_w=delta_next)
+        new = raw["apply_step"](st_r, d, alpha, accept, mu, err0)
         return jax.tree.map(
-            lambda a, b: jnp.where(frozen, a, b), st._replace(it=st.it + 1), new)
+            lambda a, b: jnp.where(frozen, a, b),
+            st._replace(it=st.it + 1), new)
 
     def state0(z0):
         return init_state(funcs, z0, lbr, ubr, opts)
