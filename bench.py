@@ -32,14 +32,14 @@ def _build():
     return problem, z0
 
 
-def _solve_once(problem, z0, device=None, max_iter=300):
+def _solve_once(problem, z0, device=None, max_iter=3000):
     import jax
     from gelato_tpu.solver import solve, IPOptions
 
     funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
              "ineq": problem.ineq_constraints}
     lb, ub = problem.bounds()
-    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
+    opts = IPOptions(max_iter=max_iter, mu_init=1e-3, lbfgs_memory=20)
 
     ctx = jax.default_device(device) if device is not None else _null_ctx()
     with ctx:

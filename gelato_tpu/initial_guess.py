@@ -84,9 +84,18 @@ def simulate(problem: Problem, dt=0.1):
         jnp.asarray(problem.x_init["quaternion"]),
     ])
 
+    # flame-out floor: a nominal schedule may demand more propellant than a
+    # stage carries (the reference integrator then drives the mass negative,
+    # initialize.py:147-163, producing unusable guesses); gate the engine off
+    # near the floor so the guess stays physical
+    mass_floor = 1.0e-3 * float(problem.x_init["mass"])
+
     def rk4(x, u3, t, p):
         def f(xx, tt):
-            return state_rate(xx, u3, tt, p["thrust"], p["massflow"],
+            alive = xx[0] > mass_floor
+            return state_rate(xx, u3, tt,
+                              jnp.where(alive, p["thrust"], 0.0),
+                              jnp.where(alive, p["massflow"], 0.0),
                               p["area"], p["nozzle"], False, wind, ca)
         k1 = f(x, t)
         k2 = f(x + dt / 2.0 * k1, t + dt / 2.0)
@@ -95,7 +104,8 @@ def simulate(problem: Problem, dt=0.1):
         return x + (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0 * dt
 
     def step(x, inp):
-        x = x.at[0].add(-inp["jettison"])
+        # clamp: jettison of an already-exhausted vehicle cannot go negative
+        x = x.at[0].set(jnp.maximum(x[0] - inp["jettison"], 1.0))
         xn = rk4(x, inp["u"], inp["t"], inp)
         tn = inp["t"] + dt
         q_zlt = zerolift_turn_correct(xn, tn, wind)
@@ -133,10 +143,75 @@ def from_simulation(problem: Problem, dt=0.1):
     return _pack_guess(problem, x_nodes)
 
 
+def _knot_times_from_file(problem: Problem, df):
+    """Recover converged knot times from the trajectory file's event markers.
+
+    The reference interpolates a previous solution onto grids built from the
+    *nominal* event times (initialize.py:346-362) even though the file
+    carries the converged times in its ``event`` column — which leaves the
+    free-knot sections far from feasibility and can drop the optimizer into a
+    worse basin.  Here marked events pin the knots; missing events are filled
+    from the time-chain offsets (exactly satisfying the equality_time rows)
+    or nominal durations.
+    """
+    ev = problem.mission.events
+    nominal = ev.time
+    if "event" not in df.columns:
+        return nominal.copy()
+    marks = {}
+    for nm in ev.names:
+        row = df[df["event"] == nm]
+        if len(row):
+            marks[nm] = float(row["time"].iloc[0])
+    if len(marks) < 2:
+        return nominal.copy()
+    t = np.full(len(ev.names), np.nan)
+    for i, nm in enumerate(ev.names):
+        if nm in marks:
+            t[i] = marks[nm]
+    # pass 1: time-chained knots are exact offsets from their reference
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(t)):
+            ref = ev.time_ref[i]
+            if np.isnan(t[i]) and ref is not None and not np.isnan(t[ev.index[ref]]):
+                t[i] = t[ev.index[ref]] + (nominal[i] - nominal[ev.index[ref]])
+                changed = True
+    # pass 2: free knots interpolate proportionally between known neighbours
+    known = np.where(~np.isnan(t))[0]
+    for i in np.where(np.isnan(t))[0]:
+        before = known[known < i]
+        after = known[known > i]
+        if before.size and after.size:
+            a, b = before[-1], after[0]
+            frac = (nominal[i] - nominal[a]) / max(nominal[b] - nominal[a], 1e-9)
+            t[i] = t[a] + frac * (t[b] - t[a])
+        elif before.size:
+            a = before[-1]
+            t[i] = t[a] + (nominal[i] - nominal[a])
+        else:
+            t[i] = nominal[i]
+    # safety: strict ordering (should already hold)
+    for i in range(1, len(t)):
+        if t[i] <= t[i - 1]:
+            t[i] = t[i - 1] + 0.1
+    return t
+
+
 def from_file(problem: Problem, df):
     """z0 by interpolating a previous trajectory CSV
-    (initialize_xdict_6DoF_from_file, initialize.py:322-413)."""
-    tx, tu = _node_times(problem)
+    (initialize_xdict_6DoF_from_file, initialize.py:322-413), with knot times
+    recovered from the file's event markers when present."""
+    t_knots = _knot_times_from_file(problem, df)
+    ps = problem.ps
+    t_x = np.asarray(ps.time_nodes_x(t_knots))
+    tx_l, tu_l = [], []
+    for i in range(problem.S):
+        n = ps.num_nodes[i]
+        tx_l.append(t_x[i, : n + 1])
+        tu_l.append(t_x[i, 1 : n + 1])
+    tx, tu = np.concatenate(tx_l), np.concatenate(tu_l)
     tt = df["time"].to_numpy(float)
 
     def col(name, grid):
@@ -150,16 +225,16 @@ def from_file(problem: Problem, df):
         axis=1,
     )
     u_nodes = np.stack([col("rate_BODY_Y", tu), col("rate_BODY_Z", tu)], axis=1)
-    return _pack_guess(problem, x_nodes, u_nodes)
+    return _pack_guess(problem, x_nodes, u_nodes, t_knots)
 
 
-def _pack_guess(problem: Problem, x_nodes, u_nodes=None):
+def _pack_guess(problem: Problem, x_nodes, u_nodes=None, t_knots=None):
     un = problem.units
     ev = problem.mission.events
     if u_nodes is None:
         _, u_rates = _u_table(problem)
         u_nodes = u_rates[:, 1:3]
-    t = ev.time / un.t
+    t = (ev.time if t_knots is None else np.asarray(t_knots)) / un.t
     return np.asarray(problem.pack(
         jnp.asarray(x_nodes[:, 0] / un.mass),
         jnp.asarray(x_nodes[:, 1:4] / un.position),

@@ -28,11 +28,18 @@ def load_user_constraints(mission, settings_path):
                         "user_constraints.py")
     if not os.path.exists(path):
         return None, None
-    spec = importlib.util.spec_from_file_location("user_constraints", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return (getattr(mod, "equality_user", None),
-            getattr(mod, "inequality_user", None))
+    try:
+        spec = importlib.util.spec_from_file_location("user_constraints", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return (getattr(mod, "equality_user", None),
+                getattr(mod, "inequality_user", None))
+    except Exception as e:  # noqa: BLE001 - e.g. reference-API files
+        print(f"WARNING: could not load {path} ({e}); continuing without "
+              f"user constraints. Note: reference-style user_constraints.py "
+              f"(NumPy xdict API) must be ported to the gelato_tpu "
+              f"UserContext API — see examples/parity/user_constraints.py.")
+        return None, None
 
 
 def main(argv=None):
@@ -74,8 +81,13 @@ def main(argv=None):
     ipopt_opts = mission.solver_options.get("IPOPT", {})
     gip_opts = mission.solver_options.get("GIP", {})
     tol = args.tol or gip_opts.get("tol") or ipopt_opts.get("tol", 1e-6)
-    max_iter = args.max_iter or gip_opts.get("max_iter") or ipopt_opts.get("max_iter", 300)
-    opts = IPOptions(tol=tol, max_iter=int(max_iter))
+    max_iter = args.max_iter or gip_opts.get("max_iter") or ipopt_opts.get("max_iter", 3000)
+    # initial guesses (file interpolation or forward sim) are near-feasible,
+    # so start with a small barrier (warm-start practice)
+    opts = IPOptions(tol=tol, max_iter=int(max_iter),
+                     mu_init=float(gip_opts.get("mu_init", 1e-3)),
+                     lbfgs_memory=int(gip_opts.get("lbfgs_memory", 20)),
+                     hessian=gip_opts.get("hessian", "lbfgs"))
 
     funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
              "ineq": problem.ineq_constraints}

@@ -54,6 +54,10 @@ class IPOptions(NamedTuple):
     kappa_soc: float = 0.99  # SOC progress requirement
     gamma_theta: float = 1.0e-5  # filter margins
     gamma_phi: float = 1.0e-5
+    # absolute infeasibility cap as a multiple of theta(x0).  IPOPT defaults
+    # to 1e4; near-feasible warm starts do much better with a tight cap that
+    # rejects feasibility-destroying excursions early.
+    theta_max_factor: float = 1.0e4
     s_phi: float = 2.3  # switching condition exponents (IPOPT)
     s_theta: float = 1.1
     delta_sw: float = 1.0
@@ -75,6 +79,33 @@ class IPOptions(NamedTuple):
     max_iter: int = 300
     scale: bool = True  # gradient-based constraint/objective scaling
     scale_max: float = 100.0
+    # Lagrangian Hessian mode.  "lbfgs" (damped limited-memory BFGS) is the
+    # default: it is what the reference effectively ran — pyoptsparse passes
+    # only first derivatives, so IPOPT used hessian_approximation =
+    # limited-memory — and its positive-definite updates are immune to the
+    # near-singular exact Hessian of singular-arc attitude sections (the
+    # body-rate variables enter only bilinear defect rows, so exact-Newton
+    # steps explode along flat control subspaces).  "exact" uses
+    # forward-over-reverse AD.
+    # Hessian mode.  "lbfgs" is the default and the robust choice (see class
+    # docstring); "exact" uses the AD Hessian throughout; "hybrid" tries an
+    # exact-Newton endgame — on problems with flat control subspaces the
+    # exact Hessian destabilizes even near the solution, so hybrid is opt-in.
+    hessian: str = "lbfgs"
+    lbfgs_memory: int = 20
+    hybrid_mu_switch: float = 1.0e-6
+    hybrid_err_switch: float = 1.0e-3
+    # IPOPT-style acceptable termination: stop once the error has stayed
+    # under acceptable_tol for acceptable_iter consecutive iterations
+    # (the reference example itself runs IPOPT with acceptable_tol=1e-4,
+    # example-settings.json:94)
+    acceptable_tol: float = 1.0e-4
+    acceptable_iter: int = 15
+    # ∞-norm cap on the primal step (variables are O(1) after
+    # nondimensionalization).  Protects a near-feasible start from being
+    # destroyed while the multipliers of the ill-conditioned continuity
+    # chain equilibrate; inactive once ‖dz‖ is moderate.
+    max_step_norm: float = 1.0
 
 
 class IPState(NamedTuple):
@@ -96,10 +127,11 @@ class IPState(NamedTuple):
 class Filter:
     """Wächter-Biegler (θ, φ) filter with margins (IPOPT eq. 22-23)."""
 
-    def __init__(self, theta0, gamma_theta=1e-5, gamma_phi=1e-5):
+    def __init__(self, theta0, gamma_theta=1e-5, gamma_phi=1e-5,
+                 theta_max_factor=1e4):
         self.gt = gamma_theta
         self.gp = gamma_phi
-        self.theta_max = 1.0e4 * max(1.0, theta0)
+        self.theta_max = theta_max_factor * max(1.0, theta0)
         self.theta_min = 1.0e-4 * max(1.0, theta0)
         self.entries = []  # list of (theta_bound, phi_bound)
 
@@ -150,7 +182,10 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
     z = _push_inside(jnp.asarray(z0), lb, ub, opts.bound_push)
     cI = funcs["ineq"](z)
     mu = jnp.asarray(opts.mu_init)
-    s = jnp.maximum(cI, jnp.maximum(opts.slack_min, 1.0e-2 * mu))
+    # slacks floored like bound gaps (IPOPT pushes slack "bounds" by
+    # bound_push relative to magnitude): active rows start with s ≈ 1e-2 and
+    # moderate multipliers instead of lambda = mu/slack_min blow-ups
+    s = jnp.maximum(cI, opts.bound_push * jnp.maximum(1.0, jnp.abs(cI)))
     lam = mu / s
     zL = mu / (z - lb)
     zU = mu / (ub - z)
@@ -239,6 +274,61 @@ def scale_funcs(funcs, z0, scale_max=100.0):
     return scaled, dict(obj=df, eq=dE, ineq=dI)
 
 
+class LBFGSHessian:
+    """Damped limited-memory BFGS approximation of the Lagrangian Hessian.
+
+    Standard Powell-damped BFGS recursion materialized as a dense n×n matrix
+    (n ≈ 1e3 here, so the 2m rank-one updates cost ~m·n² ≈ 1e7 flops —
+    negligible next to the KKT factorization).  Matches the method the
+    reference effectively used through IPOPT's limited-memory mode.
+    """
+
+    def __init__(self, n, memory=6):
+        self.n = n
+        self.memory = memory
+        self.pairs = []  # list of (s, y) numpy arrays
+
+    def update(self, s, y):
+        s = np.asarray(s)
+        y = np.asarray(y)
+        sy = float(s @ y)
+        ss = float(s @ s)
+        if ss <= 0.0 or not np.isfinite(sy):
+            return
+        # skip almost-parallel/degenerate pairs
+        if abs(sy) < 1e-12 * ss:
+            return
+        self.pairs.append((s, y))
+        if len(self.pairs) > self.memory:
+            self.pairs.pop(0)
+
+    def materialize(self):
+        n = self.n
+        if not self.pairs:
+            return jnp.eye(n)
+        s_last, y_last = self.pairs[-1]
+        sy = float(s_last @ y_last)
+        yy = float(y_last @ y_last)
+        sigma = yy / sy if sy > 1e-12 * np.sqrt(yy) * np.linalg.norm(s_last) else 1.0
+        sigma = min(max(sigma, 1e-4), 1e6)
+        B = sigma * np.eye(n)
+        for s, y in self.pairs:
+            Bs = B @ s
+            sBs = float(s @ Bs)
+            sy = float(s @ y)
+            # Powell damping keeps B positive definite
+            if sy < 0.2 * sBs:
+                theta = 0.8 * sBs / (sBs - sy)
+                y = theta * y + (1.0 - theta) * Bs
+                sy = float(s @ y)
+            if sBs > 1e-16 and sy > 1e-16:
+                B = B - np.outer(Bs, Bs) / sBs + np.outer(y, y) / sy
+        return jnp.asarray(B)
+
+    def reset(self):
+        self.pairs = []
+
+
 def make_pieces(funcs, lb, ub, opts: IPOptions):
     """Build the jitted compute pieces over *relaxed* bounds."""
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
@@ -252,6 +342,7 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
                 jax.jacfwd(eq)(z), jax.jacfwd(ineq)(z))
 
     eval_hess = jax.jacfwd(jax.grad(lagrangian))
+    grad_lag = jax.grad(lagrangian)
 
     def _finish(st, cI, JI, g, mu, dz, dyE):
         """Dependent directions + step limits + descent info for a primal dz."""
@@ -265,9 +356,12 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         dzL = mu / dl - st.zL - (st.zL / dl) * dz
         dzU = mu / du - st.zU + (st.zU / du) * dz
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
-        alpha_max = jnp.minimum(
+        alpha_cap = jnp.minimum(
+            1.0, opts.max_step_norm / jnp.maximum(
+                jnp.max(jnp.abs(dz), initial=0.0), 1e-30))
+        alpha_max = jnp.minimum(alpha_cap, jnp.minimum(
             _max_alpha(s, ds, tau),
-            jnp.minimum(_max_alpha(dl, dz, tau), _max_alpha(du, -dz, tau)))
+            jnp.minimum(_max_alpha(dl, dz, tau), _max_alpha(du, -dz, tau))))
         alpha_dual = jnp.minimum(
             _max_alpha(st.lam, dlam, tau),
             jnp.minimum(_max_alpha(st.zL, dzL, tau),
@@ -378,7 +472,7 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         lam_new = jnp.where(reset, st.mu / s_new, st.lam)
         return st._replace(s=s_new, lam=lam_new)
 
-    raw = dict(eval_point=eval_point, eval_hess=eval_hess,
+    raw = dict(eval_point=eval_point, eval_hess=eval_hess, grad_lag=grad_lag,
                direction=direction, soc_direction=soc_direction,
                phi_theta=phi_theta, trial=trial,
                apply_step=apply_step, errors=errors, slack_reset=slack_reset)
@@ -460,7 +554,8 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
     return False, 0.0, d, False
 
 
-def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None):
+def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
+               lbfgs: LBFGSHessian = None):
     """One IP iteration, orchestrated on host (all heavy math on device)."""
     f, g, cE, cI, JE, JI = pieces["eval_point"](st.z)
     st = pieces["slack_reset"](st, cI)
@@ -481,7 +576,10 @@ def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None):
     phi0, theta0 = pieces["phi_theta"](st.z, st.s, mu_j)
     phi0, theta0 = float(phi0), float(theta0)
 
-    W = pieces["eval_hess"](st.z, st.yE, st.lam)
+    if lbfgs is not None:
+        W = lbfgs.materialize()
+    else:
+        W = pieces["eval_hess"](st.z, st.yE, st.lam)
 
     # inertia correction: retry the (cheap) KKT solve with growing Hessian
     # regularization until the direction has positive curvature and the
@@ -530,18 +628,48 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     st = init_state(problem_funcs, z0, lbr, ubr, opts)
     st = apply_warm(st, warm)
     _, theta_init = pieces["phi_theta"](st.z, st.s, st.mu)
-    filt = Filter(float(theta_init), opts.gamma_theta, opts.gamma_phi)
+    filt = Filter(float(theta_init), opts.gamma_theta, opts.gamma_phi,
+                  opts.theta_max_factor)
+    lbfgs = (LBFGSHessian(st.z.shape[0], opts.lbfgs_memory)
+             if opts.hessian in ("lbfgs", "hybrid") else None)
     history = []
+    exact_cooldown = 0  # iterations to stay on L-BFGS after a rejected exact step
+    acceptable_run = 0
+    acceptable_stop = False
     for k in range(opts.max_iter):
-        st = ip_iterate(pieces, st, opts, filt)
+        z_prev = st.z
+        use_exact = opts.hessian == "exact" or (
+            opts.hessian == "hybrid"
+            and float(st.mu) <= opts.hybrid_mu_switch
+            and float(st.err0) <= opts.hybrid_err_switch
+            and exact_cooldown == 0)
+        st = ip_iterate(pieces, st, opts, filt,
+                        None if use_exact else lbfgs)
+        if use_exact and float(st.alpha) == 0.0:
+            exact_cooldown = 10
+        elif exact_cooldown > 0:
+            exact_cooldown -= 1
+        if lbfgs is not None and float(st.alpha) > 0.0:
+            gl_new = pieces["grad_lag"](st.z, st.yE, st.lam)
+            gl_old = pieces["grad_lag"](z_prev, st.yE, st.lam)
+            lbfgs.update(np.asarray(st.z - z_prev),
+                         np.asarray(gl_new - gl_old))
         if callback is not None:
             callback(k, st)
         history.append((float(st.err0), float(st.mu), float(st.alpha)))
         if bool(st.converged):
             break
+        if float(st.err0) <= opts.acceptable_tol:
+            acceptable_run += 1
+            if acceptable_run >= opts.acceptable_iter:
+                acceptable_stop = True
+                break
+        else:
+            acceptable_run = 0
     info = {
         "iterations": int(st.it),
-        "converged": bool(st.converged),
+        "converged": bool(st.converged) or acceptable_stop,
+        "acceptable": acceptable_stop and not bool(st.converged),
         "err": float(st.err0),
         "history": history,
         "scales": scales,
