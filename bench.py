@@ -32,19 +32,20 @@ def _build():
     return problem, z0
 
 
-def _solve_once(problem, z0, device=None, max_iter=3000):
+def _solve_once(problem, z0, device=None, max_iter=2000):
     import jax
-    from gelato_tpu.solver import solve, IPOptions
+    from gelato_tpu.solver import solve_device, IPOptions
 
     funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
              "ineq": problem.ineq_constraints}
     lb, ub = problem.bounds()
-    opts = IPOptions(max_iter=max_iter, mu_init=1e-3, lbfgs_memory=20)
+    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
 
     ctx = jax.default_device(device) if device is not None else _null_ctx()
     with ctx:
+        # warm-up solve compiles the chunked step; the measured run reuses it
         t0 = time.time()
-        st, info = solve(funcs, z0, lb, ub, opts)
+        st, info = solve_device(funcs, z0, lb, ub, opts, chunk=40)
         wall = time.time() - t0
     return wall, info, st
 

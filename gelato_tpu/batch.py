@@ -62,9 +62,9 @@ def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     for k in range(max_outer):
         states = vstep(states)
         if (k + 1) % log_every == 0:
-            done = np.asarray(states.converged)
+            done = np.asarray(states.ip.converged)
             if verbose:
-                err = np.asarray(states.err0)
+                err = np.asarray(states.ip.err0)
                 print(f"batch iter {k+1}: {done.sum()}/{done.size} converged, "
                       f"max err {np.nanmax(err):.3e}", flush=True)
             if done.all():

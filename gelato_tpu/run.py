@@ -64,7 +64,8 @@ def main(argv=None):
     from .config import load_mission
     from .problem import Problem
     from . import initial_guess as ig
-    from .solver import solve, IPOptions
+    from .solver import solve, solve_device, IPOptions
+    from .solver.linalg import runs_on_cpu
     from .solver.warm_start import load_state, save_state
     from .output import output_result, result_summary
 
@@ -105,7 +106,16 @@ def main(argv=None):
                   f"alpha={float(st.alpha):8.2e}  obj={float(funcs['obj'](st.z)):.6f}",
                   flush=True)
 
-    st, info = solve(funcs, z0, lb, ub, opts, callback=cb, warm=warm)
+    if runs_on_cpu() or warm is not None:
+        # host-driven loop: filter memory + SOC + warm start support
+        st, info = solve(funcs, z0, lb, ub, opts, callback=cb, warm=warm)
+    else:
+        # accelerator: chunked fused iterations (one dispatch per ~40 iters)
+        def cb_chunk(k, ipst):
+            print(f"  chunk={k:3d}  it={int(ipst.it):5d}  mu={float(ipst.mu):9.2e}  "
+                  f"err={float(ipst.err0):9.3e}", flush=True)
+        st, info = solve_device(funcs, z0, lb, ub, opts, chunk=40,
+                                callback=cb_chunk)
     info["optTime"] = time.time() - t0
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -8,4 +8,7 @@ from .ip import (  # noqa: F401
     init_state,
     ip_iterate,
     relaxed_bounds,
+    make_fused_step,
+    solve_device,
+    FusedState,
 )

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
+from . import linalg
+
 
 class IPOptions(NamedTuple):
     tol: float = 1.0e-6
@@ -77,20 +79,21 @@ class IPOptions(NamedTuple):
     slack_min: float = 1.0e-8
     kappa_sigma: float = 1.0e10  # dual safeguard box
     max_iter: int = 300
+    # KKT factorization precision: None = auto (f32+iterative refinement on
+    # accelerators — TPU XLA has no fp64 LU — plain fp64 on CPU)
+    kkt_f32: bool = None
+    kkt_refine: int = 4
     scale: bool = True  # gradient-based constraint/objective scaling
     scale_max: float = 100.0
     # Lagrangian Hessian mode.  "lbfgs" (damped limited-memory BFGS) is the
-    # default: it is what the reference effectively ran — pyoptsparse passes
-    # only first derivatives, so IPOPT used hessian_approximation =
-    # limited-memory — and its positive-definite updates are immune to the
-    # near-singular exact Hessian of singular-arc attitude sections (the
-    # body-rate variables enter only bilinear defect rows, so exact-Newton
-    # steps explode along flat control subspaces).  "exact" uses
-    # forward-over-reverse AD.
-    # Hessian mode.  "lbfgs" is the default and the robust choice (see class
-    # docstring); "exact" uses the AD Hessian throughout; "hybrid" tries an
-    # exact-Newton endgame — on problems with flat control subspaces the
-    # exact Hessian destabilizes even near the solution, so hybrid is opt-in.
+    # default and what the reference effectively ran: pyoptsparse passes only
+    # first derivatives, so IPOPT used hessian_approximation=limited-memory.
+    # Its positive-definite updates are immune to the near-singular exact
+    # Hessian of singular-arc attitude sections (body rates enter only
+    # bilinear defect rows, so exact-Newton steps explode along flat control
+    # subspaces).  "exact" uses forward-over-reverse AD throughout; "hybrid"
+    # tries an exact-Newton endgame (opt-in — it destabilizes on flat
+    # subspaces even near the solution).
     hessian: str = "lbfgs"
     lbfgs_memory: int = 20
     hybrid_mu_switch: float = 1.0e-6
@@ -197,7 +200,8 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
         rhs_ls = -(g - JI.T @ lam - zL + zU)
         mE = JE.shape[0]
         gram = JE @ JE.T + 1.0e-8 * jnp.eye(mE)
-        yE = jnp.linalg.solve(gram, JE @ rhs_ls)
+        use_f32 = not linalg.runs_on_cpu()
+        yE = linalg.solve(linalg.factorize(gram, use_f32), JE @ rhs_ls)
         yE = jnp.where(jnp.max(jnp.abs(yE), initial=0.0) > 1.0e3,
                        jnp.zeros_like(yE), yE)
         yE = jnp.where(jnp.all(jnp.isfinite(yE)), yE, jnp.zeros_like(yE))
@@ -331,6 +335,8 @@ class LBFGSHessian:
 
 def make_pieces(funcs, lb, ub, opts: IPOptions):
     """Build the jitted compute pieces over *relaxed* bounds."""
+    use_f32 = (opts.kkt_f32 if opts.kkt_f32 is not None
+               else not linalg.runs_on_cpu())
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
     grad_f = jax.grad(obj)
 
@@ -398,23 +404,28 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         K = K.at[:n, n:].set(JE.T)
         K = K.at[n:, :n].set(JE)
         K = K.at[n:, n:].set(-delta_c * jnp.eye(mE))
-        lu, piv = jsl.lu_factor(K)
-        sol = jsl.lu_solve((lu, piv), jnp.concatenate([rhs_primal, -cE]))
+        fact = linalg.factorize(K, use_f32)
+        sol = linalg.solve(fact, jnp.concatenate([rhs_primal, -cE]),
+                           opts.kkt_refine)
         dz, dyE = sol[:n], sol[n:]
         solve_ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE))
         curv = dz @ (H @ dz)
         curv_ok = curv > 1.0e-14 * (dz @ dz)
 
         d = _finish(st, cI, JI, g, mu, dz, dyE)
-        d.update(solve_ok=solve_ok, curv_ok=curv_ok, lu=lu, piv=piv,
+        fact_arrays = {k: v for k, v in fact.items() if k != "f32"}
+        d.update(solve_ok=solve_ok, curv_ok=curv_ok, fact=fact_arrays,
                  rhs_primal=rhs_primal)
         return d
 
-    def soc_direction(st: IPState, g, cI, JI, mu, lu, piv, rhs_primal, c_soc):
+    def soc_direction(st: IPState, g, cI, JI, mu, fact_arrays, rhs_primal,
+                      c_soc):
         """Second-order correction: reuse the LU factors with the corrected
         equality right-hand side (IPOPT algorithm step A-5.7)."""
         n = st.z.shape[0]
-        sol = jsl.lu_solve((lu, piv), jnp.concatenate([rhs_primal, -c_soc]))
+        fact = dict(f32=use_f32, **fact_arrays)
+        sol = linalg.solve(fact, jnp.concatenate([rhs_primal, -c_soc]),
+                           opts.kkt_refine)
         dz, dyE = sol[:n], sol[n:]
         d = _finish(st, cI, JI, g, mu, dz, dyE)
         d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
@@ -531,7 +542,7 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
             theta_prev = theta_t
             for p in range(opts.max_soc):
                 d_soc = pieces["soc_direction"](
-                    st, d["g"], d["cI"], d["JI"], mu, d["lu"], d["piv"],
+                    st, d["g"], d["cI"], d["JI"], mu, d["fact"],
                     d["rhs_primal"], c_soc)
                 if not bool(d_soc["solve_ok"]):
                     break
@@ -677,20 +688,78 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     return st, info
 
 
+class FusedState(NamedTuple):
+    """State for the fully fused on-device solver: IP state + L-BFGS ring
+    buffers + the acceptable-termination counter."""
+
+    ip: IPState
+    S: jnp.ndarray  # [mem, n] accepted steps (ring buffer)
+    Y: jnp.ndarray  # [mem, n] Lagrangian-gradient differences
+    count: jnp.ndarray  # total accepted (s, y) pairs ever stored
+    acc_run: jnp.ndarray  # consecutive iterations at acceptable error
+
+
+def _lbfgs_matrix_device(S, Y, count, sigma_floor=1e-4, sigma_cap=1e6):
+    """Materialize the damped L-BFGS Hessian approximation on device.
+
+    Chronological (oldest-first) BFGS recursion over the ring buffer with
+    Powell damping — the device twin of :class:`LBFGSHessian` (matmuls land
+    on the MXU; ~mem·n² flops, negligible next to the KKT factorization).
+    """
+    mem, n = S.shape
+    last = (count - 1) % mem
+    s_l, y_l = S[last], Y[last]
+    sy_l = s_l @ y_l
+    yy_l = y_l @ y_l
+    sigma = jnp.where(
+        (count > 0) & (sy_l > 1e-12 * jnp.sqrt(jnp.maximum(yy_l, 1e-30))
+                       * jnp.linalg.norm(s_l)),
+        jnp.clip(yy_l / jnp.where(sy_l != 0.0, sy_l, 1.0),
+                 sigma_floor, sigma_cap),
+        1.0)
+    B0 = sigma * jnp.eye(n)
+
+    def body(j, B):
+        k = count - mem + j
+        idx = k % mem
+        valid = k >= 0
+        s = S[idx]
+        y = Y[idx]
+        Bs = B @ s
+        sBs = s @ Bs
+        sy = s @ y
+        theta = jnp.where(sy < 0.2 * sBs,
+                          0.8 * sBs / jnp.maximum(sBs - sy, 1e-30), 1.0)
+        y_d = theta * y + (1.0 - theta) * Bs
+        sy_d = s @ y_d
+        ok = valid & (sBs > 1e-16) & (sy_d > 1e-16)
+        B_new = (B - jnp.outer(Bs, Bs) / jnp.maximum(sBs, 1e-30)
+                 + jnp.outer(y_d, y_d) / jnp.maximum(sy_d, 1e-30))
+        return jnp.where(ok, B_new, B)
+
+    return jax.lax.fori_loop(0, mem, body, B0)
+
+
 def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
                     z0_scale_ref=None):
-    """Fully on-device single-iteration step (vmappable, for batched solves).
+    """Fully on-device single-iteration step (vmappable, for batched solves
+    and low-dispatch TPU execution).
 
-    Same core math as :func:`ip_iterate` but with the barrier update and
-    accept/reject logic as device ops and a memoryless acceptance rule, so a
-    whole dispersion batch advances in lock-step under one ``vmap``.
-    Converged lanes freeze.  ``z0_scale_ref``: reference point for
-    gradient-based scaling (shared by every lane of a batch).
+    Same core math as :func:`ip_iterate` but with the barrier update,
+    accept/reject logic, L-BFGS state, and acceptable-termination counter as
+    device ops over :class:`FusedState`, so (a) a whole dispersion batch
+    advances in lock-step under one ``vmap`` and (b) many iterations can be
+    chained in one dispatch with ``lax.scan`` (see :func:`solve_device`) —
+    the host-driven piecewise loop costs ~8 device round-trips per iteration,
+    which dominates wall-clock on remote accelerators.  Converged lanes
+    freeze.  ``z0_scale_ref``: reference point for gradient-based scaling
+    (shared by every lane of a batch).
     """
     if opts.scale and z0_scale_ref is not None:
         funcs, _ = scale_funcs(funcs, z0_scale_ref, opts.scale_max)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
     raw = make_pieces(funcs, lbr, ubr, opts)["raw"]
+    use_lbfgs = opts.hessian in ("lbfgs", "hybrid")
 
     def linesearch_device(z, s, d, mu, phi0, theta0):
         """Memoryless filter-style backtracking as a while_loop."""
@@ -721,8 +790,10 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
                          jnp.asarray(0.0), jnp.asarray(0)))
         return ok, alpha_rel
 
-    def step(st: IPState) -> IPState:
+    def step(fst: FusedState) -> FusedState:
+        st = fst.ip
         frozen = st.converged
+        z_old = st.z
         f, g, cE, cI, JE, JI = raw["eval_point"](st.z)
         st_r = raw["slack_reset"](st, cI)
         err_mu, err0 = raw["errors"](st_r, g, cE, cI, JE, JI)
@@ -734,7 +805,10 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
             st_r.mu)
         st_r = st_r._replace(mu=mu)
         phi0, theta0 = raw["phi_theta"](st_r.z, st_r.s, mu)
-        W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam)
+        if use_lbfgs:
+            W = _lbfgs_matrix_device(fst.S, fst.Y, fst.count)
+        else:
+            W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam)
         d = raw["direction"](st_r, g, cE, cI, JE, JI, W, mu)
         ls_ok, alpha_rel = linesearch_device(st_r.z, st_r.s, d, mu, phi0, theta0)
         accept = d["solve_ok"] & d["curv_ok"] & ls_ok
@@ -746,11 +820,79 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
                         opts.delta_w_max))
         st_r = st_r._replace(delta_w=delta_next)
         new = raw["apply_step"](st_r, d, alpha, accept, mu, err0)
-        return jax.tree.map(
-            lambda a, b: jnp.where(frozen, a, b),
-            st._replace(it=st.it + 1), new)
+
+        # --- device-side L-BFGS pair update ---
+        if use_lbfgs:
+            s_vec = new.z - z_old
+            gl_new = raw["grad_lag"](new.z, new.yE, new.lam)
+            gl_old = raw["grad_lag"](z_old, new.yE, new.lam)
+            y_vec = gl_new - gl_old
+            ss = s_vec @ s_vec
+            sy = s_vec @ y_vec
+            pair_ok = (accept & jnp.isfinite(sy) & (ss > 0.0)
+                       & (jnp.abs(sy) > 1e-12 * ss))
+            idx = fst.count % fst.S.shape[0]
+            S_new = fst.S.at[idx].set(jnp.where(pair_ok, s_vec, fst.S[idx]))
+            Y_new = fst.Y.at[idx].set(jnp.where(pair_ok, y_vec, fst.Y[idx]))
+            count_new = fst.count + jnp.where(pair_ok, 1, 0)
+        else:
+            S_new, Y_new, count_new = fst.S, fst.Y, fst.count
+
+        # --- acceptable termination (IPOPT acceptable_tol semantics) ---
+        acc_run = jnp.where(err0 <= opts.acceptable_tol, fst.acc_run + 1,
+                            jnp.zeros_like(fst.acc_run))
+        new = new._replace(converged=new.converged
+                           | (acc_run >= opts.acceptable_iter))
+
+        out = FusedState(ip=new, S=S_new, Y=Y_new, count=count_new,
+                         acc_run=acc_run)
+        keep = FusedState(ip=st._replace(it=st.it + 1), S=fst.S, Y=fst.Y,
+                          count=fst.count, acc_run=fst.acc_run)
+        return jax.tree.map(lambda a, b: jnp.where(frozen, a, b), keep, out)
 
     def state0(z0):
-        return init_state(funcs, z0, lbr, ubr, opts)
+        ip0 = init_state(funcs, z0, lbr, ubr, opts)
+        n = ip0.z.shape[0]
+        mem = opts.lbfgs_memory
+        return FusedState(
+            ip=ip0,
+            S=jnp.zeros((mem, n)), Y=jnp.zeros((mem, n)),
+            count=jnp.asarray(0), acc_run=jnp.asarray(0))
 
     return step, state0
+
+
+def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
+                 chunk=40, callback=None):
+    """Low-dispatch solve: ``chunk`` fused iterations per device round-trip.
+
+    The whole iteration (residuals, Jacobians, L-BFGS Hessian, KKT factor,
+    line search, update) runs as one compiled ``lax.scan`` body; the host
+    only checks convergence between chunks.  This is the TPU execution path —
+    the piecewise host loop of :func:`solve` is kept for CPU debugging and
+    for the filter-with-memory/SOC extras it provides.
+    """
+    step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0)
+    fst = state0(jnp.asarray(z0))
+
+    @jax.jit
+    def run_chunk(fst):
+        def body(c, _):
+            return step(c), None
+        return jax.lax.scan(body, fst, None, length=chunk)[0]
+
+    n_chunks = (opts.max_iter + chunk - 1) // chunk
+    for k in range(n_chunks):
+        fst = run_chunk(fst)
+        if callback is not None:
+            callback(k, fst.ip)
+        if bool(fst.ip.converged):
+            break
+    st = fst.ip
+    info = {
+        "iterations": int(st.it),
+        "converged": bool(st.converged),
+        "err": float(st.err0),
+        "acceptable": bool(st.converged) and float(st.err0) > opts.tol,
+    }
+    return st, info

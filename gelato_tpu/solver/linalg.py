@@ -1,0 +1,60 @@
+"""Mixed-precision dense linear algebra for the KKT systems.
+
+TPU XLA implements LU decomposition only for f32/c64 — fp64 factorization is
+unavailable on-device.  The solver therefore equilibrates the KKT matrix,
+factors it in f32 (MXU-friendly), and recovers fp64 accuracy with iterative
+refinement: the residual r = b - Kx is computed in fp64 (emulated matmul) and
+the correction reuses the f32 factors.  This is the classic
+"f32 factor + f64 refine" scheme (SURVEY.md §7 hard-parts #3) and typically
+restores ~1e-12 relative accuracy in 2-5 sweeps for cond(K) ≲ 1e7 after
+equilibration.
+
+On CPU the plain fp64 factorization is used directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def runs_on_cpu():
+    """Best-effort check whether default computations land on a CPU device."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "cpu"
+    return jax.default_backend() == "cpu"
+
+
+def factorize(K, use_f32):
+    """Factor K (dense, fp64) for :func:`solve`.
+
+    Returns an opaque dict.  With ``use_f32`` the matrix is symmetrically
+    equilibrated (Jacobi row-max scaling) before the f32 factorization so the
+    barrier-induced dynamic range does not sink the single-precision LU.
+    """
+    if not use_f32:
+        lu, piv = jsl.lu_factor(K)
+        return dict(f32=False, lu=lu, piv=piv)
+    d = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(K), axis=1), 1e-30))
+    Ke = (d[:, None] * K) * d[None, :]
+    lu, piv = jsl.lu_factor(Ke.astype(jnp.float32))
+    return dict(f32=True, lu=lu, piv=piv, d=d, K=K)
+
+
+def solve(fact, rhs, n_refine=4):
+    """Solve K x = rhs using the prepared factorization."""
+    if not fact["f32"]:
+        return jsl.lu_solve((fact["lu"], fact["piv"]), rhs)
+    d = fact["d"]
+    K = fact["K"]
+    lu, piv = fact["lu"], fact["piv"]
+
+    def inner(r):
+        y = jsl.lu_solve((lu, piv), (d * r).astype(jnp.float32))
+        return d * y.astype(jnp.float64)
+
+    x = inner(rhs)
+    for _ in range(n_refine):
+        r = rhs - K @ x
+        x = x + inner(r)
+    return x

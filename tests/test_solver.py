@@ -94,11 +94,11 @@ class TestFusedStep:
             ineq=lambda z: jnp.asarray([z[0] - z[1]]),
         )
         step, state0 = make_fused_step(funcs, np.zeros(2), np.full(2, 5.0))
-        st = state0(jnp.asarray([0.5, 0.5]))
+        fst = state0(jnp.asarray([0.5, 0.5]))
         for _ in range(40):
-            st = step(st)
-        assert bool(st.converged)
-        np.testing.assert_allclose(np.asarray(st.z), [1.5, 0.5], atol=1e-6)
+            fst = step(fst)
+        assert bool(fst.ip.converged)
+        np.testing.assert_allclose(np.asarray(fst.ip.z), [1.5, 0.5], atol=1e-6)
 
     def test_vmapped_batch(self):
         from gelato_tpu.solver.ip import make_fused_step
@@ -114,6 +114,6 @@ class TestFusedStep:
         vstep = jax.jit(jax.vmap(step))
         for _ in range(40):
             states = vstep(states)
-        assert bool(jnp.all(states.converged))
+        assert bool(jnp.all(states.ip.converged))
         np.testing.assert_allclose(
-            np.asarray(states.z), np.tile([1.5, 0.5], (4, 1)), atol=1e-6)
+            np.asarray(states.ip.z), np.tile([1.5, 0.5], (4, 1)), atol=1e-6)
