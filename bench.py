@@ -13,8 +13,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def _build():
     from gelato_tpu.config import load_mission

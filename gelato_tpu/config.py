@@ -8,7 +8,6 @@ result is a plain dataclass of static arrays and metadata.
 """
 
 import json
-import math
 import os
 from dataclasses import dataclass, field
 

@@ -5,10 +5,9 @@ Parity targets: /root/reference/lib/coordinate.py:103-439,573-588,
 /root/reference/src/Earth.cpp:49-154, /root/reference/src/Coordinate.cpp:41-174.
 """
 
-import jax
 import jax.numpy as jnp
 
-from .quaternion import quatmult, quatconj, quatrot
+from .quaternion import quatmult, quatconj
 
 # WGS84 constants (reference: /root/reference/src/Earth.hpp, lib/coordinate.py:114-117)
 WGS84_A = 6378137.0

@@ -24,7 +24,6 @@ from .ops.atmosphere import (
     airpressure_at,
     speed_of_sound,
 )
-from .ops.gravity import gravityECI
 from .ops.iip import posLLH_IIP_FAA
 from .ops.quaternion import quatrot, quatconj, normalize, quatmult, euler_from_quat
 from .problem import Problem
@@ -73,7 +72,6 @@ def output_result(problem: Problem, z):
     quat_j = jnp.asarray(quat)
     t_j = jnp.asarray(tx)
     wind = jnp.asarray(mission.wind_table)
-    ca_tab = jnp.asarray(mission.ca_table)
 
     llh = np.asarray(eci2geodetic(pos_j, t_j))
     alt_geop = np.asarray(geopotential_altitude(jnp.asarray(llh[:, 2])))
@@ -127,9 +125,6 @@ def output_result(problem: Problem, z):
     events_col = [""] * N
     stage_col = [""] * N
     # event name marks the first node of each section; stage from section
-    for i in range(problem.S):
-        first = int(np.searchsorted(np.cumsum(
-            [0] + [problem.ps.num_nodes[k] + 1 for k in range(problem.S)]), 0))
     starts = np.cumsum([0] + [problem.ps.num_nodes[k] + 1 for k in range(problem.S)])
     for i in range(problem.S):
         events_col[starts[i]] = ev.names[i]

@@ -22,7 +22,7 @@ import numpy as np
 from . import _host_math as hm
 from .config import Mission, ATT_HOLD, ATT_KICK, ATT_PITCH_YAW, ATT_SAME_RATE
 from .dynamics import acceleration_eci, quaternion_rate
-from .ops import aero, orbital
+from .ops import aero
 from .ops.earth import eci2ecef, vel_eci2ecef, eci2geodetic, distance_vincenty, quat_nedg2ecef
 from .ops.iip import posLLH_IIP_FAA
 from .ops.quaternion import quatrot, normalize

@@ -35,7 +35,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 import numpy as np
 
 from . import linalg
@@ -182,9 +181,9 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
     least-squares estimate  min ||JE^T y + (∇f - zL + zU)||  capped at
     IPOPT's constr_mult_init_max.
     """
-    z = _push_inside(jnp.asarray(z0), lb, ub, opts.bound_push)
+    z = _push_inside(jnp.asarray(z0, jnp.float64), lb, ub, opts.bound_push)
     cI = funcs["ineq"](z)
-    mu = jnp.asarray(opts.mu_init)
+    mu = jnp.asarray(opts.mu_init, jnp.float64)
     # slacks floored like bound gaps (IPOPT pushes slack "bounds" by
     # bound_push relative to magnitude): active rows start with s ≈ 1e-2 and
     # moderate multipliers instead of lambda = mu/slack_min blow-ups
@@ -208,11 +207,16 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
     else:
         yE = jnp.zeros(funcs["eq"](z).shape[0])
 
+    # strong-typed scalars: weak-typed state fields would retrace (and on a
+    # remote TPU, recompile for ~20 minutes) on the second call once the
+    # step's outputs come back strongly typed
+    f64 = jnp.float64
     return IPState(
-        z=z, s=s, yE=yE, lam=lam, zL=zL, zU=zU, mu=mu,
-        delta_w=jnp.asarray(0.0), nu=jnp.asarray(1.0),
-        err0=jnp.asarray(jnp.inf), alpha=jnp.asarray(0.0),
-        it=jnp.asarray(0), converged=jnp.asarray(False),
+        z=z, s=s, yE=yE, lam=lam, zL=zL, zU=zU,
+        mu=jnp.asarray(mu, f64),
+        delta_w=jnp.asarray(0.0, f64), nu=jnp.asarray(1.0, f64),
+        err0=jnp.asarray(jnp.inf, f64), alpha=jnp.asarray(0.0, f64),
+        it=jnp.asarray(0, jnp.int64), converged=jnp.asarray(False),
     )
 
 
@@ -857,7 +861,7 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
         return FusedState(
             ip=ip0,
             S=jnp.zeros((mem, n)), Y=jnp.zeros((mem, n)),
-            count=jnp.asarray(0), acc_run=jnp.asarray(0))
+            count=jnp.asarray(0, jnp.int64), acc_run=jnp.asarray(0, jnp.int64))
 
     return step, state0
 

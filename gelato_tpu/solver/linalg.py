@@ -42,7 +42,13 @@ def factorize(K, use_f32):
 
 
 def solve(fact, rhs, n_refine=4):
-    """Solve K x = rhs using the prepared factorization."""
+    """Solve K x = rhs using the prepared factorization.
+
+    Refinement is self-guarding: when cond(K)·eps_f32 is marginal the sweeps
+    can amplify instead of contract, so the iterate with the smallest fp64
+    residual is returned (measured: unguarded 10-sweep refinement diverged on
+    barrier-ill-conditioned KKT systems that 4 sweeps solved).
+    """
     if not fact["f32"]:
         return jsl.lu_solve((fact["lu"], fact["piv"]), rhs)
     d = fact["d"]
@@ -54,7 +60,16 @@ def solve(fact, rhs, n_refine=4):
         return d * y.astype(jnp.float64)
 
     x = inner(rhs)
+    best_x = x
+    best_rn = jnp.inf
     for _ in range(n_refine):
         r = rhs - K @ x
+        rn = jnp.linalg.norm(r)
+        better = rn < best_rn
+        best_x = jnp.where(better, x, best_x)
+        best_rn = jnp.where(better, rn, best_rn)
         x = x + inner(r)
-    return x
+    r = rhs - K @ x
+    rn = jnp.linalg.norm(r)
+    better = rn < best_rn
+    return jnp.where(better, x, best_x)
