@@ -215,6 +215,9 @@ def result_summary(problem: Problem, z, info, mission_file=""):
         f"optTime         : {info.get('optTime', 0.0):11.6f}\n",
         f"iterations      : {info.get('iterations', 0):4d}\n",
         f"KKT error       : {info.get('err', float('nan')):11.3e}\n\n",
-        f"{'CONVERGED' if info.get('converged') else 'NOT CONVERGED'}\n",
+        {"optimal": "CONVERGED (optimal)\n",
+         "acceptable": "CONVERGED (acceptable level)\n"}.get(
+            info.get("status"),
+            "CONVERGED\n" if info.get("converged") else "NOT CONVERGED\n"),
     ]
     return lines

@@ -681,11 +681,20 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
                 break
         else:
             acceptable_run = 0
+    final_err = float(st.err0)
+    # classify like IPOPT: optimal / solved-to-acceptable / out of iterations
+    if bool(st.converged) and final_err <= opts.tol:
+        status = "optimal"
+    elif acceptable_stop or final_err <= opts.acceptable_tol:
+        status = "acceptable"
+    else:
+        status = "max_iter"
     info = {
         "iterations": int(st.it),
-        "converged": bool(st.converged) or acceptable_stop,
-        "acceptable": acceptable_stop and not bool(st.converged),
-        "err": float(st.err0),
+        "converged": status in ("optimal", "acceptable"),
+        "acceptable": status == "acceptable",
+        "status": status,
+        "err": final_err,
         "history": history,
         "scales": scales,
     }
@@ -893,10 +902,18 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
         if bool(fst.ip.converged):
             break
     st = fst.ip
+    final_err = float(st.err0)
+    if bool(st.converged) and final_err <= opts.tol:
+        status = "optimal"
+    elif bool(st.converged) or final_err <= opts.acceptable_tol:
+        status = "acceptable"
+    else:
+        status = "max_iter"
     info = {
         "iterations": int(st.it),
-        "converged": bool(st.converged),
-        "err": float(st.err0),
-        "acceptable": bool(st.converged) and float(st.err0) > opts.tol,
+        "converged": status in ("optimal", "acceptable"),
+        "acceptable": status == "acceptable",
+        "status": status,
+        "err": final_err,
     }
     return st, info
