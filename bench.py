@@ -43,7 +43,7 @@ def _solve_once(problem, z0, device=None, max_iter=2000):
     with ctx:
         # warm-up solve pays the (persistent-cached) compile; the measured
         # run reflects steady-state wall-clock
-        solve_device(funcs, z0, lb, ub, opts._replace(max_iter=2), chunk=2)
+        solve_device(funcs, z0, lb, ub, opts._replace(max_iter=40), chunk=40)
         t0 = time.time()
         st, info = solve_device(funcs, z0, lb, ub, opts, chunk=40)
         wall = time.time() - t0
