@@ -876,7 +876,7 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
 
 
 def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
-                 chunk=40, callback=None):
+                 chunk=40, callback=None, warm=None):
     """Low-dispatch solve: ``chunk`` fused iterations per device round-trip.
 
     The whole iteration (residuals, Jacobians, L-BFGS Hessian, KKT factor,
@@ -885,8 +885,12 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     the piecewise host loop of :func:`solve` is kept for CPU debugging and
     for the filter-with-memory/SOC extras it provides.
     """
+    from .warm_start import apply_warm
+
     step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0)
     fst = state0(jnp.asarray(z0))
+    if warm is not None:
+        fst = fst._replace(ip=apply_warm(fst.ip, warm))
 
     @jax.jit
     def run_chunk(fst):
