@@ -30,7 +30,7 @@ def _build():
     return problem, z0
 
 
-def _solve_once(problem, z0, device=None, max_iter=2000):
+def _solve_once(problem, z0, device=None, max_iter=4000):
     import jax
     from gelato_tpu.solver import solve_device, IPOptions
 
