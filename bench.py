@@ -30,7 +30,7 @@ def _build():
     return problem, z0
 
 
-def _solve_once(problem, z0, device=None, max_iter=4000):
+def _solve_once(problem, z0, device=None, max_iter=2000):
     import jax
     from gelato_tpu.solver import solve_device, IPOptions
 
@@ -76,16 +76,28 @@ def main():
         except Exception:
             vs_baseline = 1.0
 
-    payload = float(st.z[0]) * problem.units.mass - problem.mission.m_init
+    # payload per the reference's report: m[0] - m_init - Σ dropMass
+    # (Trajectory_Optimization.py:503-509)
+    drop = sum(
+        i["mass"] for stg in problem.mission.stages.values()
+        for i in (stg.get("dropMass") or {}).values()
+    )
+    payload = float(st.z[0]) * problem.units.mass - problem.mission.m_init - drop
+    import numpy as np
+    import jax.numpy as jnp
+    viol = float(np.abs(np.asarray(
+        problem.eq_constraints(jnp.asarray(st.z)))).max())
     print(json.dumps({
         "metric": "example_case_solve_wall_clock",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(vs_baseline, 3),
         "converged": bool(info["converged"]),
+        "status": info["status"],
         "kkt_error": float(info["err"]),
+        "max_eq_violation": viol,
         "iterations": int(info["iterations"]),
-        "payload_kg_incl_drop": round(payload, 3),
+        "payload_kg": round(payload, 3),
     }))
 
 

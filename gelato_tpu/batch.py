@@ -1,16 +1,20 @@
 """Batched dispersion studies: vmapped solves sharded over a device mesh.
 
 TPU-native replacement for the reference's serial shell loop
-(/root/reference/run_batch.sh:75-79): a stack of perturbed cases (wind,
-payload, initial-guess dispersions over one mission *structure*) advances in
+(/root/reference/run_batch.sh:75-79): a stack of dispersed cases advances in
 lock-step — every case runs the same compiled IP iteration under ``vmap``,
 and the batch axis shards across chips with ``jax.sharding`` so dispersion
 studies ride ICI instead of a job queue.
 
+Cases vary **physics**, not just initial guesses: each lane carries its own
+``case`` pytree (wind table, axial-force multiplier — see
+``Problem.case_nominal``) threaded through every constraint evaluation via
+the solver's ``aux`` channel.
+
 Note the restriction inherited from XLA static shapes: all cases in one batch
 share the mission structure (events, node counts, constraint layout); the
-*data* (wind tables, payload masses, initial guesses) varies per case.  For
-heterogeneous missions, run one batch per structure.
+*data* (wind tables, aero dispersions, initial guesses) varies per case.  For
+heterogeneous missions, run one batch per structure (or use batch_cli).
 """
 
 import numpy as np
@@ -22,30 +26,54 @@ from .problem import Problem
 from .solver.ip import IPOptions, make_fused_step
 
 
+def _case_funcs(problem: Problem):
+    """Two-argument (z, case) problem functions for the aux channel."""
+    return {
+        "obj": lambda z, c: problem.objective(z, c),
+        "eq": lambda z, c: problem.eq_constraints(z, c),
+        "ineq": lambda z, c: problem.ineq_constraints(z, c),
+        "_aux": True,
+    }
+
+
 def make_batch_step(problem: Problem, opts: IPOptions = IPOptions(),
                     z0_ref=None):
     """(step, state0): vmappable one-iteration step for this problem.
 
-    ``z0_ref`` (optional) is the reference point for gradient-based scaling,
-    shared across all batch lanes.
+    ``step(fst, case)`` / ``state0(z0, case)`` — vmap over both to give every
+    lane its own physics.  ``z0_ref`` (optional) is the reference point for
+    gradient-based scaling, shared across all batch lanes (with the nominal
+    case).
     """
-    funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
-             "ineq": problem.ineq_constraints}
     lb, ub = problem.bounds()
-    return make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0_ref)
+    return make_fused_step(_case_funcs(problem), lb, ub, opts,
+                           z0_scale_ref=z0_ref,
+                           aux_example=problem.case_nominal())
+
+
+def broadcast_cases(problem: Problem, n_cases):
+    """Stack the nominal case n_cases times (no dispersion)."""
+    nom = problem.case_nominal()
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_cases,) + jnp.shape(x)), nom)
 
 
 def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
-                mesh=None, max_outer=None, log_every=10, verbose=True):
+                cases=None, mesh=None, max_outer=None, log_every=10,
+                verbose=True):
     """Solve a batch of cases to convergence.
 
-    ``z0_batch``: [B, n_z] initial guesses (e.g. one per wind/payload case).
-    When ``mesh`` (a 1-axis jax.sharding.Mesh) is given, the batch axis is
-    sharded across its devices.  Runs jitted vmapped IP iterations until every
-    lane converges or ``opts.max_iter`` is reached.
+    ``z0_batch``: [B, n_z] initial guesses.  ``cases``: pytree with leading
+    batch axis B (from :func:`dispersion_cases`); None broadcasts the
+    nominal case.  When ``mesh`` (a 1-axis jax.sharding.Mesh) is given, the
+    batch axis is sharded across its devices.  Runs jitted vmapped IP
+    iterations until every lane converges or ``opts.max_iter`` is reached.
     """
+    z0_batch = jnp.asarray(z0_batch)
+    if cases is None:
+        cases = broadcast_cases(problem, z0_batch.shape[0])
     step, state0 = make_batch_step(problem, opts)
-    states = jax.vmap(state0)(jnp.asarray(z0_batch))
+    states = jax.vmap(state0)(z0_batch, cases)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -55,12 +83,13 @@ def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         states = jax.tree.map(shard, states)
+        cases = jax.tree.map(shard, cases)
 
     vstep = jax.jit(jax.vmap(step))
 
     max_outer = max_outer or opts.max_iter
     for k in range(max_outer):
-        states = vstep(states)
+        states = vstep(states, cases)
         if (k + 1) % log_every == 0:
             done = np.asarray(states.ip.converged)
             if verbose:
@@ -72,23 +101,82 @@ def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     return states
 
 
-def wind_dispersion_batch(problem: Problem, n_cases, sigma_speed=5.0, seed=0):
-    """Build a wind-perturbed batch of initial guesses around the nominal.
+def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
+                     cases=None, mesh=None, chunk=40, callback=None):
+    """Low-dispatch batched solve: ``chunk`` lock-step iterations per device
+    round-trip (the batched twin of ``solve_device``)."""
+    z0_batch = jnp.asarray(z0_batch)
+    if cases is None:
+        cases = broadcast_cases(problem, z0_batch.shape[0])
+    step, state0 = make_batch_step(problem, opts)
+    states = jax.vmap(state0)(z0_batch, cases)
 
-    A light-weight stand-in for a full per-case wind table sweep: perturbs the
-    nominal initial guess; per-case wind tables become per-case problem data
-    once the wind table moves into the variable pytree (future work — the
-    solver itself is already batch-pure).
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard(x):
+            spec = P(*((mesh.axis_names[0],) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        states = jax.tree.map(shard, states)
+        cases = jax.tree.map(shard, cases)
+
+    vstep = jax.vmap(step)
+
+    @jax.jit
+    def run_chunk(states, cases):
+        def body(c, _):
+            return vstep(c, cases), None
+        return jax.lax.scan(body, states, None, length=chunk)[0]
+
+    n_chunks = (opts.max_iter + chunk - 1) // chunk
+    for k in range(n_chunks):
+        states = run_chunk(states, cases)
+        if callback is not None:
+            callback(k, states)
+        if bool(jnp.all(states.ip.converged)):
+            break
+    return states
+
+
+def dispersion_cases(problem: Problem, n_cases, sigma_wind=5.0,
+                     sigma_ca=0.05, seed=0):
+    """Monte-Carlo dispersion: per-case wind tables and axial-force scales.
+
+    Wind dispersion follows the standard per-altitude-band perturbation: each
+    case draws independent N/E wind offsets per table row, smoothed over
+    adjacent rows so profiles stay physical; the axial-force (CA) multiplier
+    models aero uncertainty.  Returns a case pytree with leading axis B.
     """
+    rng = np.random.default_rng(seed)
+    wind0 = np.asarray(problem.wind)  # [Nw, 3] altitude, north, east
+    nw = wind0.shape[0]
+    dw = rng.normal(size=(n_cases, nw, 2)) * sigma_wind
+    # 3-point smoothing along the altitude axis keeps profiles physical
+    kernel = np.array([0.25, 0.5, 0.25])
+    dw = np.apply_along_axis(
+        lambda a: np.convolve(a, kernel, mode="same"), 1, dw)
+    winds = np.tile(wind0, (n_cases, 1, 1))
+    winds[:, :, 1:] += dw
+    ca_scale = 1.0 + sigma_ca * rng.normal(size=n_cases)
+    return {"wind": jnp.asarray(winds),
+            "ca_scale": jnp.asarray(np.clip(ca_scale, 0.5, 1.5))}
+
+
+def initial_guess_batch(problem: Problem, n_cases, sigma=1e-6, seed=0):
+    """[B, n_z] initial guesses: nominal + tiny symmetric perturbations."""
     from . import initial_guess as ig
 
-    z0 = ig.initial_guess(problem)
+    z0 = np.asarray(ig.initial_guess(problem))
     rng = np.random.default_rng(seed)
     zb = np.tile(z0, (n_cases, 1))
-    # perturb initial velocity guesses slightly (dimensionless V unit = 1 km/s)
-    off_v = problem.off_vel
-    zb[:, off_v:off_v + 3 * problem.M] += (
-        sigma_speed / problem.units.velocity
-        * rng.normal(size=(n_cases, 3 * problem.M)) * 1e-2
-    )
+    zb += sigma * rng.normal(size=zb.shape)
     return zb
+
+
+def wind_dispersion_batch(problem: Problem, n_cases, sigma_speed=5.0, seed=0):
+    """(z0_batch, cases) for an n-case wind/aero dispersion study."""
+    zb = initial_guess_batch(problem, n_cases, seed=seed)
+    cases = dispersion_cases(problem, n_cases, sigma_wind=sigma_speed,
+                             seed=seed)
+    return zb, cases

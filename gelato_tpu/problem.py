@@ -411,6 +411,31 @@ class Problem:
         pass  # placeholder for future structure
 
     # ------------------------------------------------------------------
+    # per-case problem data (dispersion batches)
+
+    def case_nominal(self):
+        """Nominal per-case data pytree.
+
+        The reference's batch mode re-runs the whole program per settings
+        file (run_batch.sh:75-79); here the dispersed *physics* — the wind
+        table and an axial-force multiplier — ride through every constraint
+        evaluation as data, so ``vmap`` over (state, case) solves physically
+        distinct cases in lock-step (BASELINE target #2).
+        """
+        return {"wind": self.wind, "ca_scale": jnp.asarray(1.0)}
+
+    def _case_tables(self, case):
+        """(wind_table, ca_table) for a case (None → nominal)."""
+        if case is None or (isinstance(case, tuple) and not case):
+            return self.wind, self.ca
+        wind = case.get("wind", self.wind)
+        ca = self.ca
+        scale = case.get("ca_scale")
+        if scale is not None:
+            ca = jnp.concatenate([ca[:, :1], ca[:, 1:] * scale], axis=1)
+        return wind, ca
+
+    # ------------------------------------------------------------------
     # shared evaluation pieces (dimensionless in/out)
 
     def _time_grids(self, t):
@@ -428,9 +453,11 @@ class Problem:
         """[S, n_max, ...] masked residual → exact-N-row vector in ref order."""
         return res_sn[self.vr_sec, self.vr_node]
 
-    def _node_accel(self, v: Vars):
+    def _node_accel(self, v: Vars, wind=None, ca=None):
         """Acceleration at all collocation nodes [S, n_max, 3] (dimensionless)."""
         un = self.units
+        wind = self.wind if wind is None else wind
+        ca = self.ca if ca is None else ca
         t_x, _ = self._time_grids(v.t)
         mass = v.mass_s[:, 1:] * un.mass
         pos = v.pos_s[:, 1:] * un.position
@@ -440,7 +467,7 @@ class Problem:
 
         def per_section(m, p, vv, q, tt, thrust, area, nozzle):
             return acceleration_eci(m, p, vv, q, tt, thrust, area, nozzle,
-                                    self.wind, self.ca)
+                                    wind, ca)
 
         acc = jax.vmap(per_section)(
             mass, pos, vel, quat, t_phys,
@@ -451,18 +478,19 @@ class Problem:
     # ------------------------------------------------------------------
     # objective & constraint groups
 
-    def objective(self, z):
+    def objective(self, z, case=None):
         """cost_6DoF (lib/cost_gradient.py:29-34)."""
         v = self.unpack(z)
         if self.mission.optimization_mode == "Payload":
             return -v.mass[0]
         return v.t[-1]
 
-    def eq_constraint_groups(self, z):
+    def eq_constraint_groups(self, z, case=None):
         """All equality groups, reference order (Trajectory_Optimization.py:197-219)."""
         v = self.unpack(z)
         un = self.units
         ev = self.mission.events
+        wind, ca = self._case_tables(case)
         t_x, dt = self._time_grids(v.t)
         half_dt = dt * un.t / 2.0
         groups = {}
@@ -498,7 +526,7 @@ class Problem:
 
         # --- dynamics: velocity (con_dynamics.py:216-289) ---
         lh_v = jnp.einsum("sij,sjk->sik", self.D, v.vel_s)
-        rh_v = self._node_accel(v) * half_dt[:, None, None]
+        rh_v = self._node_accel(v, wind, ca) * half_dt[:, None, None]
         groups["dyn_vel"] = self._compact(lh_v - rh_v).ravel()
 
         # --- dynamics: quaternion (con_dynamics.py:499-533) ---
@@ -567,11 +595,12 @@ class Problem:
 
         return groups
 
-    def ineq_constraint_groups(self, z):
+    def ineq_constraint_groups(self, z, case=None):
         """All inequality groups (≥ 0), reference order
         (Trajectory_Optimization.py:221-238)."""
         v = self.unpack(z)
         un = self.units
+        wind, _ = self._case_tables(case)
         groups = {}
 
         # --- aero limits (con_aero.py:89-248) ---
@@ -582,8 +611,8 @@ class Problem:
             vel = v.vel_s[sec, node] * un.velocity
             quat = v.quat_s[sec, node]
             t_phys = t_x[sec, node] * un.t
-            aoa = aero.angle_of_attack_all_rad(pos, vel, quat, t_phys, self.wind)
-            q = aero.dynamic_pressure_pa(pos, vel, t_phys, self.wind)
+            aoa = aero.angle_of_attack_all_rad(pos, vel, quat, t_phys, wind)
+            q = aero.dynamic_pressure_pa(pos, vel, t_phys, wind)
             k = self.aero_kind  # static numpy mask
             vals = jnp.select(
                 [jnp.asarray(k == 0), jnp.asarray(k == 1), jnp.asarray(k == 2)],
@@ -695,12 +724,12 @@ class Problem:
     # ------------------------------------------------------------------
     # flat constraint interfaces
 
-    def eq_constraints(self, z):
-        g = self.eq_constraint_groups(z)
+    def eq_constraints(self, z, case=None):
+        g = self.eq_constraint_groups(z, case)
         return jnp.concatenate([v for v in g.values() if v.size])
 
-    def ineq_constraints(self, z):
-        g = self.ineq_constraint_groups(z)
+    def ineq_constraints(self, z, case=None):
+        g = self.ineq_constraint_groups(z, case)
         return jnp.concatenate([v for v in g.values() if v.size])
 
     def group_sizes(self, z0):

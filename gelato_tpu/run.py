@@ -18,12 +18,21 @@ import numpy as np
 def load_user_constraints(mission, settings_path):
     """Import user_constraints.py next to the settings file, if present.
 
-    The reference hard-imports ``user_constraints`` from the CWD
-    (Trajectory_Optimization.py:42); here the module is optional and loaded
-    relative to the mission file.  It must define JAX-traceable
-    ``equality_user(ctx)`` / ``inequality_user(ctx)`` taking a
-    :class:`gelato_tpu.problem.UserContext`.
+    Two plug-in dialects are accepted:
+
+    * **native**: JAX-traceable ``equality_user(ctx)`` /
+      ``inequality_user(ctx)`` taking a
+      :class:`gelato_tpu.problem.UserContext`;
+    * **reference-style**: GELATO's 4-argument
+      ``equality_user(xdict, pdict, unitdict, condition)`` files
+      (/root/reference/example/user_constraints.py) run unmodified through
+      :mod:`gelato_tpu.compat` — including their ``lib.*_c`` imports, which
+      resolve to the JAX ops so the plug-in's Jacobian comes from AD.
     """
+    import inspect
+
+    from .compat import adapt_reference_user_module
+
     path = os.path.join(os.path.dirname(os.path.abspath(settings_path)),
                         "user_constraints.py")
     if not os.path.exists(path):
@@ -32,14 +41,21 @@ def load_user_constraints(mission, settings_path):
         spec = importlib.util.spec_from_file_location("user_constraints", path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        return (getattr(mod, "equality_user", None),
-                getattr(mod, "inequality_user", None))
-    except Exception as e:  # noqa: BLE001 - e.g. reference-API files
-        print(f"WARNING: could not load {path} ({e}); continuing without "
-              f"user constraints. Note: reference-style user_constraints.py "
-              f"(NumPy xdict API) must be ported to the gelato_tpu "
-              f"UserContext API — see examples/parity/user_constraints.py.")
-        return None, None
+        eq = getattr(mod, "equality_user", None)
+        ineq = getattr(mod, "inequality_user", None)
+        n_args = max(
+            (len(inspect.signature(f).parameters) for f in (eq, ineq) if f),
+            default=0)
+        if n_args >= 4:  # reference dialect declared via its signature
+            return adapt_reference_user_module(path)
+        return eq, ineq
+    except Exception:  # noqa: BLE001 - e.g. a top-level `import lib.*_c`
+        try:
+            return adapt_reference_user_module(path)
+        except Exception as e:  # noqa: BLE001
+            print(f"WARNING: could not load {path} ({e}); continuing "
+                  f"without user constraints.")
+            return None, None
 
 
 def main(argv=None):
@@ -55,6 +71,20 @@ def main(argv=None):
     parser.add_argument("--save-state", default=None,
                         help="write the final primal-dual state here")
     args = parser.parse_args(argv)
+
+    if args.cpu and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # remote-accelerator plugin environments hook JAX backend resolution
+        # at interpreter start; a clean re-exec is the only reliable way to
+        # honor --cpu there (same pattern as __graft_entry__.dryrun_multichip)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (pkg_root, env.get("PYTHONPATH")) if p)
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "gelato_tpu.run"] + list(sys.argv[1:]),
+                  env)
 
     import jax
 

@@ -64,6 +64,10 @@ class IPOptions(NamedTuple):
     delta_sw: float = 1.0
     delta_w_init: float = 1.0e-8
     delta_w_max: float = 1.0e12
+    # fused-step within-iteration inertia/globalization retries: number of
+    # growing δ_w levels tried per iteration, reusing the evaluated point
+    # (the host loop's 15-level loop, bounded for device control flow)
+    max_inertia_retries: int = 3
     # persistent Hessian regularization floor: damps zero-curvature control
     # subspaces (e.g. body rates entering only bilinear defect rows)
     delta_w_floor: float = 0.0
@@ -78,10 +82,12 @@ class IPOptions(NamedTuple):
     slack_min: float = 1.0e-8
     kappa_sigma: float = 1.0e10  # dual safeguard box
     max_iter: int = 300
-    # KKT factorization precision: None = auto (f32+iterative refinement on
-    # accelerators — TPU XLA has no fp64 LU — plain fp64 on CPU)
-    kkt_f32: bool = None
-    kkt_refine: int = 4
+    # KKT factorization: "chol" = condensed normal-equations fp64 Cholesky
+    # (TPU-native, and the inertia oracle: chol of a non-PD H yields NaNs
+    # which trigger the delta_w retry); "lu" = dense fp64 LU of the full
+    # system (CPU debugging).  See solver/linalg.py.
+    kkt_method: str = "chol"
+    kkt_refine: int = 1
     scale: bool = True  # gradient-based constraint/objective scaling
     scale_max: float = 100.0
     # Lagrangian Hessian mode.  "lbfgs" (damped limited-memory BFGS) is the
@@ -173,7 +179,25 @@ def relaxed_bounds(lb, ub, opts: IPOptions):
             ub + opts.bound_relax * jnp.maximum(1.0, jnp.abs(ub)))
 
 
-def init_state(funcs, z0, lb, ub, opts: IPOptions):
+def normalize_funcs(funcs):
+    """Canonicalize problem functions to the two-argument ``f(z, aux)`` form.
+
+    ``aux`` is an arbitrary pytree of per-case problem *data* (wind tables,
+    dispersed masses, ...) threaded through every function evaluation — the
+    mechanism that lets ``vmap`` vary physics across dispersion-batch lanes,
+    not just initial guesses (reference analogue: each run_batch.sh case is
+    a whole separate settings file).  Single-case callers keep passing
+    one-argument functions and ``aux=()``.
+    """
+    if funcs.get("_aux"):
+        return funcs
+    out = {k: (lambda f: (lambda z, aux: f(z)))(f)
+           for k, f in funcs.items() if callable(f)}
+    out["_aux"] = True
+    return out
+
+
+def init_state(funcs, z0, lb, ub, opts: IPOptions, aux=()):
     """Initial primal-dual state from a primal guess (bounds pre-relaxed).
 
     Slacks are floored at O(mu) so near-active inequalities do not spawn
@@ -181,8 +205,9 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
     least-squares estimate  min ||JE^T y + (∇f - zL + zU)||  capped at
     IPOPT's constr_mult_init_max.
     """
+    funcs = normalize_funcs(funcs)
     z = _push_inside(jnp.asarray(z0, jnp.float64), lb, ub, opts.bound_push)
-    cI = funcs["ineq"](z)
+    cI = funcs["ineq"](z, aux)
     mu = jnp.asarray(opts.mu_init, jnp.float64)
     # slacks floored like bound gaps (IPOPT pushes slack "bounds" by
     # bound_push relative to magnitude): active rows start with s ≈ 1e-2 and
@@ -193,19 +218,18 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions):
     zU = mu / (ub - z)
 
     if "obj" in funcs:
-        g = jax.grad(funcs["obj"])(z)
-        JE = jax.jacfwd(funcs["eq"])(z)
-        JI = jax.jacfwd(funcs["ineq"])(z)
+        g = jax.grad(funcs["obj"])(z, aux)
+        JE = jax.jacfwd(funcs["eq"])(z, aux)
+        JI = jax.jacfwd(funcs["ineq"])(z, aux)
         rhs_ls = -(g - JI.T @ lam - zL + zU)
         mE = JE.shape[0]
         gram = JE @ JE.T + 1.0e-8 * jnp.eye(mE)
-        use_f32 = not linalg.runs_on_cpu()
-        yE = linalg.solve(linalg.factorize(gram, use_f32), JE @ rhs_ls)
+        yE = linalg.spd_solve(gram, JE @ rhs_ls)
         yE = jnp.where(jnp.max(jnp.abs(yE), initial=0.0) > 1.0e3,
                        jnp.zeros_like(yE), yE)
         yE = jnp.where(jnp.all(jnp.isfinite(yE)), yE, jnp.zeros_like(yE))
     else:
-        yE = jnp.zeros(funcs["eq"](z).shape[0])
+        yE = jnp.zeros(funcs["eq"](z, aux).shape[0])
 
     # strong-typed scalars: weak-typed state fields would retrace (and on a
     # remote TPU, recompile for ~20 minutes) on the second call once the
@@ -250,18 +274,21 @@ def _max_alpha(v, dv, tau):
     return jnp.minimum(1.0, jnp.min(ratio, initial=jnp.inf))
 
 
-def scale_funcs(funcs, z0, scale_max=100.0):
+def scale_funcs(funcs, z0, scale_max=100.0, aux=()):
     """IPOPT-style gradient-based scaling.
 
     Each constraint row and the objective are scaled so the largest gradient
     entry at the starting point is at most ``scale_max``
     (nlp_scaling_method=gradient-based).  Returns scaled funcs plus the scale
-    vectors (needed to unscale multipliers for reporting).
+    vectors (needed to unscale multipliers for reporting).  Scales are
+    computed once at ``(z0, aux)`` and shared by every batch lane, like the
+    shared ``z0_scale_ref``.
     """
+    funcs = normalize_funcs(funcs)
     z0 = jnp.asarray(z0)
-    g0 = jax.grad(funcs["obj"])(z0)
-    JE0 = jax.jacfwd(funcs["eq"])(z0)
-    JI0 = jax.jacfwd(funcs["ineq"])(z0)
+    g0 = jax.grad(funcs["obj"])(z0, aux)
+    JE0 = jax.jacfwd(funcs["eq"])(z0, aux)
+    JI0 = jax.jacfwd(funcs["ineq"])(z0, aux)
 
     def row_scale(J):
         m = jnp.max(jnp.abs(J), axis=1) if J.size else jnp.zeros(J.shape[0])
@@ -275,9 +302,10 @@ def scale_funcs(funcs, z0, scale_max=100.0):
 
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
     scaled = {
-        "obj": lambda z: df * obj(z),
-        "eq": lambda z: dE_j * eq(z),
-        "ineq": lambda z: dI_j * ineq(z),
+        "obj": lambda z, a: df * obj(z, a),
+        "eq": lambda z, a: dE_j * eq(z, a),
+        "ineq": lambda z, a: dI_j * ineq(z, a),
+        "_aux": True,
     }
     return scaled, dict(obj=df, eq=dE, ineq=dI)
 
@@ -338,18 +366,22 @@ class LBFGSHessian:
 
 
 def make_pieces(funcs, lb, ub, opts: IPOptions):
-    """Build the jitted compute pieces over *relaxed* bounds."""
-    use_f32 = (opts.kkt_f32 if opts.kkt_f32 is not None
-               else not linalg.runs_on_cpu())
+    """Build the jitted compute pieces over *relaxed* bounds.
+
+    Every function-evaluating piece takes a trailing ``aux`` pytree (per-case
+    problem data; ``()`` for single-case solves — see :func:`normalize_funcs`).
+    """
+    kkt_method = opts.kkt_method
+    funcs = normalize_funcs(funcs)
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
     grad_f = jax.grad(obj)
 
-    def lagrangian(z, yE, lam):
-        return obj(z) + eq(z) @ yE - ineq(z) @ lam
+    def lagrangian(z, yE, lam, aux):
+        return obj(z, aux) + eq(z, aux) @ yE - ineq(z, aux) @ lam
 
-    def eval_point(z):
-        return (obj(z), grad_f(z), eq(z), ineq(z),
-                jax.jacfwd(eq)(z), jax.jacfwd(ineq)(z))
+    def eval_point(z, aux):
+        return (obj(z, aux), grad_f(z, aux), eq(z, aux), ineq(z, aux),
+                jax.jacfwd(eq)(z, aux), jax.jacfwd(ineq)(z, aux))
 
     eval_hess = jax.jacfwd(jax.grad(lagrangian))
     grad_lag = jax.grad(lagrangian)
@@ -390,7 +422,6 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         sigma_z = st.zL / dl + st.zU / du
         sigma_s = st.lam / s
         n = z.shape[0]
-        mE = cE.shape[0]
 
         H = (W + jnp.diag(sigma_z)
              + (st.delta_w + opts.delta_w_floor) * jnp.eye(n)
@@ -403,51 +434,40 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         delta_c = jnp.where(st.delta_w > 0.0,
                             opts.delta_c_bar * mu ** opts.kappa_c,
                             opts.delta_c)
-        K = jnp.zeros((n + mE, n + mE))
-        K = K.at[:n, :n].set(H)
-        K = K.at[:n, n:].set(JE.T)
-        K = K.at[n:, :n].set(JE)
-        K = K.at[n:, n:].set(-delta_c * jnp.eye(mE))
-        fact = linalg.factorize(K, use_f32)
-        sol = linalg.solve(fact, jnp.concatenate([rhs_primal, -cE]),
-                           opts.kkt_refine)
-        dz, dyE = sol[:n], sol[n:]
+        fact = linalg.kkt_factorize(H, JE, delta_c, kkt_method)
+        dz, dyE = linalg.kkt_solve(kkt_method, fact, rhs_primal, -cE,
+                                   opts.kkt_refine)
         solve_ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE))
         curv = dz @ (H @ dz)
         curv_ok = curv > 1.0e-14 * (dz @ dz)
 
         d = _finish(st, cI, JI, g, mu, dz, dyE)
-        fact_arrays = {k: v for k, v in fact.items() if k != "f32"}
-        d.update(solve_ok=solve_ok, curv_ok=curv_ok, fact=fact_arrays,
+        d.update(solve_ok=solve_ok, curv_ok=curv_ok, fact=fact,
                  rhs_primal=rhs_primal)
         return d
 
-    def soc_direction(st: IPState, g, cI, JI, mu, fact_arrays, rhs_primal,
-                      c_soc):
-        """Second-order correction: reuse the LU factors with the corrected
+    def soc_direction(st: IPState, g, cI, JI, mu, fact, rhs_primal, c_soc):
+        """Second-order correction: reuse the KKT factors with the corrected
         equality right-hand side (IPOPT algorithm step A-5.7)."""
-        n = st.z.shape[0]
-        fact = dict(f32=use_f32, **fact_arrays)
-        sol = linalg.solve(fact, jnp.concatenate([rhs_primal, -c_soc]),
-                           opts.kkt_refine)
-        dz, dyE = sol[:n], sol[n:]
+        dz, dyE = linalg.kkt_solve(kkt_method, fact, rhs_primal, -c_soc,
+                                   opts.kkt_refine)
         d = _finish(st, cI, JI, g, mu, dz, dyE)
         d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
         return d
 
-    def phi_theta(z, s, mu):
+    def phi_theta(z, s, mu, aux):
         """Barrier objective and constraint violation at a point."""
         bar = (jnp.sum(jnp.log(s)) + jnp.sum(jnp.log(z - lb))
                + jnp.sum(jnp.log(ub - z)))
-        theta = jnp.sum(jnp.abs(eq(z))) + jnp.sum(jnp.abs(ineq(z) - s))
-        return obj(z) - mu * bar, theta
+        theta = jnp.sum(jnp.abs(eq(z, aux))) + jnp.sum(jnp.abs(ineq(z, aux) - s))
+        return obj(z, aux) - mu * bar, theta
 
-    def trial(z, s, dz, ds, alpha, mu):
+    def trial(z, s, dz, ds, alpha, mu, aux):
         """Evaluate a trial point: (phi_t, theta_t, cE_t)."""
         z_t = z + alpha * dz
         s_t = s + alpha * ds
-        phi_t, theta_t = phi_theta(z_t, s_t, mu)
-        return phi_t, theta_t, eq(z_t)
+        phi_t, theta_t = phi_theta(z_t, s_t, mu, aux)
+        return phi_t, theta_t, eq(z_t, aux)
 
     def apply_step(st: IPState, d, alpha, accept, mu, err0):
         z_new = st.z + alpha * d["dz"]
@@ -499,7 +519,8 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
 _LS_DEBUG = False
 
 
-def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
+def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts,
+                       aux=()):
     """Host-side backtracking with filter memory and second-order correction.
 
     Returns (accepted, alpha, d_used, used_armijo).
@@ -514,7 +535,7 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
     for k in range(opts.max_ls):
         alpha = alpha_rel * alpha_max
         phi_t, theta_t, cE_t = pieces["trial"](z, s, d["dz"], d["ds"],
-                                               jnp.asarray(alpha), mu)
+                                               jnp.asarray(alpha), mu, aux)
         phi_t, theta_t = float(phi_t), float(theta_t)
 
         def acceptance(phi_t, theta_t, alpha):
@@ -552,7 +573,8 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
                     break
                 a_soc = float(d_soc["alpha_max"])
                 phi_c, theta_c, cE_c = pieces["trial"](
-                    z, s, d_soc["dz"], d_soc["ds"], jnp.asarray(a_soc), mu)
+                    z, s, d_soc["dz"], d_soc["ds"], jnp.asarray(a_soc), mu,
+                    aux)
                 phi_c, theta_c = float(phi_c), float(theta_c)
                 ok_c, by_armijo_c = acceptance(phi_c, theta_c, a_soc)
                 if _LS_DEBUG:
@@ -570,9 +592,9 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts):
 
 
 def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
-               lbfgs: LBFGSHessian = None):
+               lbfgs: LBFGSHessian = None, aux=()):
     """One IP iteration, orchestrated on host (all heavy math on device)."""
-    f, g, cE, cI, JE, JI = pieces["eval_point"](st.z)
+    f, g, cE, cI, JE, JI = pieces["eval_point"](st.z, aux)
     st = pieces["slack_reset"](st, cI)
     err_mu, err0 = pieces["errors"](st, g, cE, cI, JE, JI)
 
@@ -588,13 +610,13 @@ def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
     if filt is None:
         filt = Filter(1.0)
 
-    phi0, theta0 = pieces["phi_theta"](st.z, st.s, mu_j)
+    phi0, theta0 = pieces["phi_theta"](st.z, st.s, mu_j, aux)
     phi0, theta0 = float(phi0), float(theta0)
 
     if lbfgs is not None:
         W = lbfgs.materialize()
     else:
-        W = pieces["eval_hess"](st.z, st.yE, st.lam)
+        W = pieces["eval_hess"](st.z, st.yE, st.lam, aux)
 
     # inertia correction: retry the (cheap) KKT solve with growing Hessian
     # regularization until the direction has positive curvature and the
@@ -607,7 +629,7 @@ def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
         d["g"], d["cI"], d["JI"] = g, cI, JI
         if bool(d["solve_ok"]) and bool(d["curv_ok"]):
             accepted, alpha, d_used, by_armijo = _filter_linesearch(
-                pieces, st, d, mu_j, cE, phi0, theta0, filt, opts)
+                pieces, st, d, mu_j, cE, phi0, theta0, filt, opts, aux)
             if accepted:
                 if not by_armijo:
                     filt.add(theta0, phi0)
@@ -631,18 +653,19 @@ def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
 
 
 def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
-          callback=None, warm=None):
+          callback=None, warm=None, aux=()):
     """Host-driven solve (single problem).  Returns (state, info)."""
     from .warm_start import apply_warm
 
     scales = None
     if opts.scale:
-        problem_funcs, scales = scale_funcs(problem_funcs, z0, opts.scale_max)
+        problem_funcs, scales = scale_funcs(problem_funcs, z0,
+                                            opts.scale_max, aux)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
     pieces = make_pieces(problem_funcs, lbr, ubr, opts)
-    st = init_state(problem_funcs, z0, lbr, ubr, opts)
+    st = init_state(problem_funcs, z0, lbr, ubr, opts, aux)
     st = apply_warm(st, warm)
-    _, theta_init = pieces["phi_theta"](st.z, st.s, st.mu)
+    _, theta_init = pieces["phi_theta"](st.z, st.s, st.mu, aux)
     filt = Filter(float(theta_init), opts.gamma_theta, opts.gamma_phi,
                   opts.theta_max_factor)
     lbfgs = (LBFGSHessian(st.z.shape[0], opts.lbfgs_memory)
@@ -659,14 +682,14 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
             and float(st.err0) <= opts.hybrid_err_switch
             and exact_cooldown == 0)
         st = ip_iterate(pieces, st, opts, filt,
-                        None if use_exact else lbfgs)
+                        None if use_exact else lbfgs, aux)
         if use_exact and float(st.alpha) == 0.0:
             exact_cooldown = 10
         elif exact_cooldown > 0:
             exact_cooldown -= 1
         if lbfgs is not None and float(st.alpha) > 0.0:
-            gl_new = pieces["grad_lag"](st.z, st.yE, st.lam)
-            gl_old = pieces["grad_lag"](z_prev, st.yE, st.lam)
+            gl_new = pieces["grad_lag"](st.z, st.yE, st.lam, aux)
+            gl_old = pieces["grad_lag"](z_prev, st.yE, st.lam, aux)
             lbfgs.update(np.asarray(st.z - z_prev),
                          np.asarray(gl_new - gl_old))
         if callback is not None:
@@ -703,13 +726,25 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
 
 class FusedState(NamedTuple):
     """State for the fully fused on-device solver: IP state + L-BFGS ring
-    buffers + the acceptable-termination counter."""
+    buffers + the device-side (θ, φ) filter + acceptable-run counter.
+
+    The filter is a fixed-size ring buffer of (θ_bound, φ_bound) pairs —
+    the on-device twin of :class:`Filter` (host).  Empty slots hold +inf,
+    which never dominates a trial point."""
 
     ip: IPState
     S: jnp.ndarray  # [mem, n] accepted steps (ring buffer)
     Y: jnp.ndarray  # [mem, n] Lagrangian-gradient differences
     count: jnp.ndarray  # total accepted (s, y) pairs ever stored
     acc_run: jnp.ndarray  # consecutive iterations at acceptable error
+    filt_tb: jnp.ndarray  # [FILTER_SIZE] filter θ bounds
+    filt_pb: jnp.ndarray  # [FILTER_SIZE] filter φ bounds
+    filt_idx: jnp.ndarray  # next ring slot
+    theta_max: jnp.ndarray  # absolute infeasibility cap (from θ at z0)
+    theta_min: jnp.ndarray  # switching-condition threshold (IPOPT θ_min)
+
+
+FILTER_SIZE = 8
 
 
 def _lbfgs_matrix_device(S, Y, count, sigma_floor=1e-4, sigma_cap=1e6):
@@ -754,91 +789,235 @@ def _lbfgs_matrix_device(S, Y, count, sigma_floor=1e-4, sigma_cap=1e6):
 
 
 def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
-                    z0_scale_ref=None):
+                    z0_scale_ref=None, aux_example=None):
     """Fully on-device single-iteration step (vmappable, for batched solves
     and low-dispatch TPU execution).
 
-    Same core math as :func:`ip_iterate` but with the barrier update,
-    accept/reject logic, L-BFGS state, and acceptable-termination counter as
-    device ops over :class:`FusedState`, so (a) a whole dispersion batch
-    advances in lock-step under one ``vmap`` and (b) many iterations can be
-    chained in one dispatch with ``lax.scan`` (see :func:`solve_device`) —
-    the host-driven piecewise loop costs ~8 device round-trips per iteration,
-    which dominates wall-clock on remote accelerators.  Converged lanes
-    freeze.  ``z0_scale_ref``: reference point for gradient-based scaling
-    (shared by every lane of a batch).
+    Same globalization as the host loop (:func:`ip_iterate` +
+    :func:`_filter_linesearch`), re-expressed as device control flow over
+    :class:`FusedState`:
+
+    * (θ, φ) **filter with memory** — fixed-size ring buffer, reset on each
+      new barrier subproblem, with the absolute ``theta_max`` cap;
+    * **within-iteration inertia retries** — a bounded ``while_loop`` over
+      growing δ_w levels that reuses the (expensive) evaluated point and
+      only refactors the (cheap, condensed-Cholesky) KKT system;
+    * **second-order correction** — one SOC direction reusing the factors
+      when the full step grows the infeasibility;
+    * fraction-to-boundary, Armijo/switching acceptance, acceptable-iter
+      termination — device ops throughout, so a whole dispersion batch
+      advances in lock-step under ``vmap`` and many iterations chain in one
+      dispatch with ``lax.scan`` (see :func:`solve_device`).
+
+    Converged lanes freeze.  ``z0_scale_ref``: reference point for
+    gradient-based scaling (shared by every lane of a batch).
+
+    ``step(fst, aux)`` / ``state0(z0, aux)`` take a per-case problem-data
+    pytree (``()`` when unused); under ``vmap`` over (state, aux) each lane
+    solves physically distinct problem data (wind tables, dispersed masses).
+    ``aux_example`` is the nominal case used for the shared gradient scaling.
     """
+    funcs = normalize_funcs(funcs)
+    aux_ex = () if aux_example is None else aux_example
     if opts.scale and z0_scale_ref is not None:
-        funcs, _ = scale_funcs(funcs, z0_scale_ref, opts.scale_max)
+        funcs, _ = scale_funcs(funcs, z0_scale_ref, opts.scale_max, aux_ex)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
     raw = make_pieces(funcs, lbr, ubr, opts)["raw"]
     use_lbfgs = opts.hessian in ("lbfgs", "hybrid")
+    f64 = jnp.float64
 
-    def linesearch_device(z, s, d, mu, phi0, theta0):
-        """Memoryless filter-style backtracking as a while_loop."""
+    def filter_ok(theta_t, phi_t, fst):
+        """Trial point not dominated by any filter entry and under the cap."""
+        dominated = jnp.any((theta_t >= fst.filt_tb) & (phi_t >= fst.filt_pb))
+        return (jnp.isfinite(theta_t) & jnp.isfinite(phi_t)
+                & (theta_t <= fst.theta_max) & ~dominated)
 
+    def acceptance(fst, theta0, phi0, dphi, alpha, phi_t, theta_t):
+        """(ok, by_armijo_switching) — host `_filter_linesearch.acceptance`."""
+        switching = (dphi < 0.0) & (
+            alpha * (-dphi) ** opts.s_phi
+            > opts.delta_sw * theta0 ** opts.s_theta)
+        armijo = (dphi < 0.0) & (phi_t <= phi0 + opts.eta * alpha * dphi)
+        progress = ((theta_t < (1.0 - opts.gamma_theta) * theta0)
+                    | (phi_t < phi0 - opts.gamma_phi * theta0))
+        ok = jnp.where(
+            (theta0 <= fst.theta_min) & switching,
+            armijo, progress | (switching & armijo))
+        return ok & filter_ok(theta_t, phi_t, fst), armijo & switching
+
+    def _d_small(d):
+        """Direction fields needed beyond the search (drops the factors)."""
+        return {k: d[k] for k in ("dz", "ds", "dyE", "dlam", "dzL", "dzU",
+                                  "alpha_dual")}
+
+    def linesearch_soc(fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux):
+        """Full-step trial → SOC on infeasibility growth → backtracking.
+
+        Returns (ok, alpha, d_used_small, by_armijo).
+        """
+        z, s = st_r.z, st_r.s
+        dphi = d["dphi"]
+        alpha_max = d["alpha_max"]
+
+        # --- full step ---
+        phi_t, theta_t, cE_t = raw["trial"](z, s, d["dz"], d["ds"],
+                                            alpha_max, mu, aux)
+        ok0, arm0 = acceptance(fst, theta0, phi0, dphi, alpha_max,
+                               phi_t, theta_t)
+
+        # --- second-order correction (IPOPT A-5.7, one attempt) ---
+        # lax.cond skips the extra factor-reuse solve + trial whenever the
+        # full step was accepted or did not grow the infeasibility (at B=1;
+        # under vmap it lowers to a select, which is what a batch needs
+        # anyway since lanes diverge)
+        soc_needed = (~ok0) & (theta_t >= theta0) & (opts.max_soc > 0)
+
+        def soc_branch(_):
+            c_soc = alpha_max * cE + cE_t
+            d_soc = raw["soc_direction"](st_r, g, cI, JI, mu, d["fact"],
+                                         d["rhs_primal"], c_soc)
+            a_soc = d_soc["alpha_max"]
+            phi_c, theta_c, _ = raw["trial"](z, s, d_soc["dz"], d_soc["ds"],
+                                             a_soc, mu, aux)
+            okc, armc = acceptance(fst, theta0, phi0, d_soc["dphi"], a_soc,
+                                   phi_c, theta_c)
+            return (okc & d_soc["solve_ok"], armc, a_soc, _d_small(d_soc))
+
+        def soc_skip(_):
+            return (jnp.asarray(False), jnp.asarray(False),
+                    jnp.asarray(0.0, f64), _d_small(d))
+
+        okc, armc, a_soc, d_soc_small = jax.lax.cond(
+            soc_needed, soc_branch, soc_skip, None)
+        soc_ok = soc_needed & okc
+
+        # --- backtracking on the primary direction (α_rel = 1/2, 1/4, ...)
+        #     entered only when neither the full step nor SOC was accepted ---
         def body(carry):
-            alpha_rel, done, best, k = carry
-            alpha = alpha_rel * d["alpha_max"]
-            phi_t, theta_t, _ = raw["trial"](z, s, d["dz"], d["ds"], alpha, mu)
-            dphi = d["dphi"]
-            armijo = (dphi < 0.0) & (phi_t <= phi0 + opts.eta * alpha * dphi)
-            progress = ((theta_t < (1.0 - opts.gamma_theta) * theta0)
-                        | (phi_t < phi0 - opts.gamma_phi * theta0))
-            switching = (dphi < 0.0) & (
-                alpha * (-dphi) ** opts.s_phi
-                > opts.delta_sw * theta0 ** opts.s_theta)
-            small_theta = theta0 <= 1.0e-4
-            ok = jnp.isfinite(phi_t) & jnp.where(
-                small_theta & switching, armijo, progress | (switching & armijo))
-            best = jnp.where(ok & ~done, alpha_rel, best)
-            return (alpha_rel * 0.5, done | ok, best, k + 1)
+            alpha_rel, done, best, by_arm, k = carry
+            alpha = alpha_rel * alpha_max
+            phi_b, theta_b, _ = raw["trial"](z, s, d["dz"], d["ds"], alpha,
+                                             mu, aux)
+            ok_b, arm_b = acceptance(fst, theta0, phi0, dphi, alpha,
+                                     phi_b, theta_b)
+            best = jnp.where(ok_b & ~done, alpha_rel, best)
+            by_arm = jnp.where(ok_b & ~done, arm_b, by_arm)
+            return (alpha_rel * 0.5, done | ok_b, best, by_arm, k + 1)
 
         def cond(carry):
-            _, done, _, k = carry
+            _, done, _, _, k = carry
             return (~done) & (k < opts.max_ls)
 
-        _, ok, alpha_rel, _ = jax.lax.while_loop(
-            cond, body, (jnp.asarray(1.0), jnp.asarray(False),
-                         jnp.asarray(0.0), jnp.asarray(0)))
-        return ok, alpha_rel
+        _, bt_done, bt_rel, bt_arm, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0.5, f64), ok0 | soc_ok,
+             jnp.asarray(0.0, f64), jnp.asarray(False), jnp.asarray(1)))
+        bt_ok = bt_done & ~ok0 & ~soc_ok & (bt_rel > 0.0)
 
-    def step(fst: FusedState) -> FusedState:
+        ok = ok0 | soc_ok | bt_ok
+        alpha = jnp.where(
+            ok0, alpha_max,
+            jnp.where(soc_ok, a_soc, bt_rel * alpha_max))
+        by_armijo = jnp.where(ok0, arm0, jnp.where(soc_ok, armc, bt_arm))
+        d_used = jax.tree.map(
+            lambda a, b: jnp.where(soc_ok, a, b),
+            d_soc_small, _d_small(d))
+        return ok, alpha, d_used, by_armijo
+
+    def step(fst: FusedState, aux=()) -> FusedState:
         st = fst.ip
         frozen = st.converged
         z_old = st.z
-        f, g, cE, cI, JE, JI = raw["eval_point"](st.z)
+        f, g, cE, cI, JE, JI = raw["eval_point"](st.z, aux)
         st_r = raw["slack_reset"](st, cI)
         err_mu, err0 = raw["errors"](st_r, g, cE, cI, JE, JI)
+        mu_drop = (err_mu <= opts.kappa_eps * st_r.mu) & (st_r.mu > opts.mu_min)
         mu = jnp.where(
-            (err_mu <= opts.kappa_eps * st_r.mu) & (st_r.mu > opts.mu_min),
+            mu_drop,
             jnp.maximum(opts.mu_min,
                         jnp.minimum(opts.kappa_mu * st_r.mu,
                                     st_r.mu ** opts.theta_mu)),
             st_r.mu)
         st_r = st_r._replace(mu=mu)
-        phi0, theta0 = raw["phi_theta"](st_r.z, st_r.s, mu)
+
+        # new barrier subproblem → fresh filter (IPOPT resets it)
+        inf = jnp.asarray(jnp.inf, f64)
+        fst = fst._replace(
+            filt_tb=jnp.where(mu_drop, inf, fst.filt_tb),
+            filt_pb=jnp.where(mu_drop, inf, fst.filt_pb),
+            filt_idx=jnp.where(mu_drop, 0, fst.filt_idx))
+
+        phi0, theta0 = raw["phi_theta"](st_r.z, st_r.s, mu, aux)
         if use_lbfgs:
             W = _lbfgs_matrix_device(fst.S, fst.Y, fst.count)
         else:
-            W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam)
-        d = raw["direction"](st_r, g, cE, cI, JE, JI, W, mu)
-        ls_ok, alpha_rel = linesearch_device(st_r.z, st_r.s, d, mu, phi0, theta0)
-        accept = d["solve_ok"] & d["curv_ok"] & ls_ok
-        alpha = jnp.where(accept, alpha_rel * d["alpha_max"], 0.0)
+            W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam, aux)
+
+        # --- bounded inertia-retry loop: re-factor with growing δ_w,
+        #     reusing the evaluated point (g, cE, cI, JE, JI, W) ---
+        n = st_r.z.shape[0]
+        zeros_d = dict(
+            dz=jnp.zeros(n), ds=jnp.zeros_like(st_r.s),
+            dyE=jnp.zeros_like(st_r.yE), dlam=jnp.zeros_like(st_r.lam),
+            dzL=jnp.zeros(n), dzU=jnp.zeros(n),
+            alpha_dual=jnp.asarray(0.0, f64))
+        init = dict(
+            delta=st_r.delta_w, k=jnp.asarray(0),
+            done=jnp.asarray(False), alpha=jnp.asarray(0.0, f64),
+            d=zeros_d, by_armijo=jnp.asarray(False),
+            delta_used=st_r.delta_w)
+
+        def retry_cond(c):
+            return (~c["done"]) & (c["k"] < opts.max_inertia_retries)
+
+        def retry_body(c):
+            st_try = st_r._replace(delta_w=c["delta"])
+            d = raw["direction"](st_try, g, cE, cI, JE, JI, W, mu)
+            ls_ok, alpha, d_used, by_arm = linesearch_soc(
+                fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux)
+            success = d["solve_ok"] & d["curv_ok"] & ls_ok
+            take = success & ~c["done"]
+            d_new = jax.tree.map(
+                lambda a, b: jnp.where(take, a, b), d_used, c["d"])
+            delta_next = jnp.where(
+                c["delta"] == 0.0, opts.delta_w_init,
+                jnp.minimum(c["delta"] * 100.0, opts.delta_w_max))
+            return dict(
+                delta=delta_next, k=c["k"] + 1, done=c["done"] | success,
+                alpha=jnp.where(take, alpha, c["alpha"]), d=d_new,
+                by_armijo=jnp.where(take, by_arm, c["by_armijo"]),
+                delta_used=jnp.where(take, c["delta"], c["delta_used"]))
+
+        out = jax.lax.while_loop(retry_cond, retry_body, init)
+        accept = out["done"]
+        alpha = jnp.where(accept, out["alpha"], 0.0)
+
+        # regularization bookkeeping: decay on success, grow on failure
         delta_next = jnp.where(
             accept,
-            jnp.where(st_r.delta_w > opts.delta_w_init, st_r.delta_w / 3.0, 0.0),
+            jnp.where(out["delta_used"] > opts.delta_w_init,
+                      out["delta_used"] / 3.0, 0.0),
             jnp.minimum(jnp.maximum(st_r.delta_w, opts.delta_w_init) * 10.0,
                         opts.delta_w_max))
         st_r = st_r._replace(delta_w=delta_next)
-        new = raw["apply_step"](st_r, d, alpha, accept, mu, err0)
+        new = raw["apply_step"](st_r, out["d"], alpha, accept, mu, err0)
+
+        # --- filter update: add (θ0, φ0) margins unless pure Armijo accept ---
+        add = accept & ~out["by_armijo"]
+        slot = fst.filt_idx % FILTER_SIZE
+        tb_new = (1.0 - opts.gamma_theta) * theta0
+        pb_new = phi0 - opts.gamma_phi * theta0
+        filt_tb = fst.filt_tb.at[slot].set(
+            jnp.where(add, tb_new, fst.filt_tb[slot]))
+        filt_pb = fst.filt_pb.at[slot].set(
+            jnp.where(add, pb_new, fst.filt_pb[slot]))
+        filt_idx = fst.filt_idx + jnp.where(add, 1, 0)
 
         # --- device-side L-BFGS pair update ---
         if use_lbfgs:
             s_vec = new.z - z_old
-            gl_new = raw["grad_lag"](new.z, new.yE, new.lam)
-            gl_old = raw["grad_lag"](z_old, new.yE, new.lam)
+            gl_new = raw["grad_lag"](new.z, new.yE, new.lam, aux)
+            gl_old = raw["grad_lag"](z_old, new.yE, new.lam, aux)
             y_vec = gl_new - gl_old
             ss = s_vec @ s_vec
             sy = s_vec @ y_vec
@@ -857,26 +1036,35 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
         new = new._replace(converged=new.converged
                            | (acc_run >= opts.acceptable_iter))
 
-        out = FusedState(ip=new, S=S_new, Y=Y_new, count=count_new,
-                         acc_run=acc_run)
-        keep = FusedState(ip=st._replace(it=st.it + 1), S=fst.S, Y=fst.Y,
-                          count=fst.count, acc_run=fst.acc_run)
-        return jax.tree.map(lambda a, b: jnp.where(frozen, a, b), keep, out)
+        out_state = FusedState(
+            ip=new, S=S_new, Y=Y_new, count=count_new, acc_run=acc_run,
+            filt_tb=filt_tb, filt_pb=filt_pb, filt_idx=filt_idx,
+            theta_max=fst.theta_max, theta_min=fst.theta_min)
+        # frozen lanes pass through unchanged (it stays at the converged count)
+        return jax.tree.map(lambda a, b: jnp.where(frozen, a, b),
+                            fst, out_state)
 
-    def state0(z0):
-        ip0 = init_state(funcs, z0, lbr, ubr, opts)
+    def state0(z0, aux=()):
+        ip0 = init_state(funcs, z0, lbr, ubr, opts, aux)
         n = ip0.z.shape[0]
         mem = opts.lbfgs_memory
+        _, theta0 = raw["phi_theta"](ip0.z, ip0.s, ip0.mu, aux)
+        theta_ref = jnp.maximum(1.0, theta0)
         return FusedState(
             ip=ip0,
             S=jnp.zeros((mem, n)), Y=jnp.zeros((mem, n)),
-            count=jnp.asarray(0, jnp.int64), acc_run=jnp.asarray(0, jnp.int64))
+            count=jnp.asarray(0, jnp.int64), acc_run=jnp.asarray(0, jnp.int64),
+            filt_tb=jnp.full(FILTER_SIZE, jnp.inf),
+            filt_pb=jnp.full(FILTER_SIZE, jnp.inf),
+            filt_idx=jnp.asarray(0, jnp.int64),
+            theta_max=opts.theta_max_factor * theta_ref,
+            theta_min=1.0e-4 * theta_ref)
 
     return step, state0
 
 
 def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
-                 chunk=40, callback=None, warm=None):
+                 chunk=40, callback=None, warm=None, aux=()):
     """Low-dispatch solve: ``chunk`` fused iterations per device round-trip.
 
     The whole iteration (residuals, Jacobians, L-BFGS Hessian, KKT factor,
@@ -887,20 +1075,21 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     """
     from .warm_start import apply_warm
 
-    step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0)
-    fst = state0(jnp.asarray(z0))
+    step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0,
+                                   aux_example=aux)
+    fst = state0(jnp.asarray(z0), aux)
     if warm is not None:
         fst = fst._replace(ip=apply_warm(fst.ip, warm))
 
     @jax.jit
-    def run_chunk(fst):
+    def run_chunk(fst, aux):
         def body(c, _):
-            return step(c), None
+            return step(c, aux), None
         return jax.lax.scan(body, fst, None, length=chunk)[0]
 
     n_chunks = (opts.max_iter + chunk - 1) // chunk
     for k in range(n_chunks):
-        fst = run_chunk(fst)
+        fst = run_chunk(fst, aux)
         if callback is not None:
             callback(k, fst.ip)
         if bool(fst.ip.converged):

@@ -3,7 +3,8 @@
 In this environment the TPU is attached through an experimental platform
 plugin that ignores ``JAX_PLATFORMS=cpu``, so we additionally pin
 ``jax_default_device`` to the first host CPU device.  The 8 virtual CPU
-devices back the multi-chip sharding tests (SURVEY.md §2.3).
+devices back the multi-chip ``jax.sharding.Mesh`` tests in
+``tests/test_sharding.py`` (SURVEY.md §2.3).
 """
 
 import os

@@ -64,7 +64,7 @@ class TestMeshRefined:
         lbr, ubr = ip.relaxed_bounds(lb, ub, opts)
         pieces = ip.make_pieces(sf, lbr, ubr, opts)
         st = ip.init_state(sf, z0, lbr, ubr, opts)
-        f, g, cE, cI, JE, JI = pieces["eval_point"](st.z)
+        f, g, cE, cI, JE, JI = pieces["eval_point"](st.z, ())
         W = jnp.eye(p.n_z)
         d = pieces["direction"](st, g, cE, cI, JE, JI, W, st.mu)
         assert bool(d["solve_ok"])
