@@ -204,8 +204,22 @@ def init_state(funcs, z0, lb, ub, opts: IPOptions, aux=()):
     huge initial multipliers, and the equality multipliers start from the
     least-squares estimate  min ||JE^T y + (∇f - zL + zU)||  capped at
     IPOPT's constr_mult_init_max.
+
+    Jitted as a whole: the embedded jacfwd would otherwise run op-by-op,
+    which on a remote accelerator costs minutes of per-primitive dispatch
+    (the jit is per-call, but init runs once per solve and the compiled
+    artifact lands in the persistent cache).
     """
     funcs = normalize_funcs(funcs)
+
+    @jax.jit
+    def _impl(z0, lb, ub, aux):
+        return _init_state_impl(funcs, z0, lb, ub, opts, aux)
+
+    return _impl(jnp.asarray(z0), jnp.asarray(lb), jnp.asarray(ub), aux)
+
+
+def _init_state_impl(funcs, z0, lb, ub, opts, aux):
     z = _push_inside(jnp.asarray(z0, jnp.float64), lb, ub, opts.bound_push)
     cI = funcs["ineq"](z, aux)
     mu = jnp.asarray(opts.mu_init, jnp.float64)
@@ -286,9 +300,14 @@ def scale_funcs(funcs, z0, scale_max=100.0, aux=()):
     """
     funcs = normalize_funcs(funcs)
     z0 = jnp.asarray(z0)
-    g0 = jax.grad(funcs["obj"])(z0, aux)
-    JE0 = jax.jacfwd(funcs["eq"])(z0, aux)
-    JI0 = jax.jacfwd(funcs["ineq"])(z0, aux)
+
+    @jax.jit
+    def _probe(z0, aux):
+        return (jax.grad(funcs["obj"])(z0, aux),
+                jax.jacfwd(funcs["eq"])(z0, aux),
+                jax.jacfwd(funcs["ineq"])(z0, aux))
+
+    g0, JE0, JI0 = _probe(z0, aux)
 
     def row_scale(J):
         m = jnp.max(jnp.abs(J), axis=1) if J.size else jnp.zeros(J.shape[0])
