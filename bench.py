@@ -58,10 +58,51 @@ class _null_ctx:
         return False
 
 
+def _bench_batch(problem, n_cases, max_iter=1500):
+    """Dispersion-batch throughput: n_cases wind/CA-dispersed solves in
+    lock-step (BASELINE target #2).  Returns (wall, n_converged, payloads)."""
+    import numpy as np
+    from gelato_tpu.batch import (solve_batch_scan, wind_dispersion_batch)
+    from gelato_tpu.solver import IPOptions
+
+    zb, cases = wind_dispersion_batch(problem, n_cases)
+    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
+    # warm-up chunk pays the (cached) compile
+    solve_batch_scan(problem, zb, opts._replace(max_iter=40), cases=cases,
+                     chunk=40)
+    t0 = time.time()
+    states = solve_batch_scan(problem, zb, opts, cases=cases, chunk=40)
+    wall = time.time() - t0
+    conv = np.asarray(states.ip.converged)
+    drop = sum(
+        i["mass"] for stg in problem.mission.stages.values()
+        for i in (stg.get("dropMass") or {}).values()
+    )
+    payloads = (np.asarray(states.ip.z[:, 0]) * problem.units.mass
+                - problem.mission.m_init - drop)
+    return wall, int(conv.sum()), payloads
+
+
 def main():
     import jax
 
     problem, z0 = _build()
+
+    n_batch = int(os.environ.get("GELATO_BENCH_BATCH", "0"))
+    if n_batch:
+        wall, n_conv, payloads = _bench_batch(problem, n_batch)
+        print(json.dumps({
+            "metric": "dispersion_batch_wall_clock",
+            "value": round(wall, 3),
+            "unit": "s",
+            "vs_baseline": None,
+            "n_cases": n_batch,
+            "n_converged": n_conv,
+            "s_per_case": round(wall / n_batch, 3),
+            "payload_kg_mean": round(float(payloads.mean()), 3),
+            "payload_kg_std": round(float(payloads.std()), 3),
+        }))
+        return
 
     # accelerator run (default device = TPU when present)
     wall, info, st = _solve_once(problem, z0)
