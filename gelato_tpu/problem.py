@@ -732,6 +732,36 @@ class Problem:
         g = self.ineq_constraint_groups(z, case)
         return jnp.concatenate([v for v in g.values() if v.size])
 
+    def solver_funcs(self, colored=False, z0=None):
+        """Problem-function dict for the IP solver.
+
+        The returned functions take ``(z, case)`` (the solver's aux channel;
+        ``()``/None selects the nominal case).  With ``colored=True`` the
+        constraint Jacobians are compressed by distance-2 column coloring
+        (solver/coloring.py) — the TPU-native replacement for the
+        reference's hand-written `wrt` sparsity map
+        (Trajectory_Optimization.py:358-381); ``z0`` is the pattern-probe
+        point (defaults to the nominal initial guess).
+        """
+        funcs = {
+            "obj": lambda z, c: self.objective(z, c),
+            "eq": lambda z, c: self.eq_constraints(z, c),
+            "ineq": lambda z, c: self.ineq_constraints(z, c),
+            "_aux": True,
+        }
+        if colored:
+            from . import initial_guess as ig
+            from .solver.coloring import colored_jacobian
+
+            if z0 is None:
+                z0 = ig.initial_guess(self)
+            jac_eq, info_e = colored_jacobian(funcs["eq"], z0)
+            jac_in, info_i = colored_jacobian(funcs["ineq"], z0)
+            funcs["jac_eq"] = jac_eq
+            funcs["jac_ineq"] = jac_in
+            funcs["coloring_info"] = dict(eq=info_e, ineq=info_i)
+        return funcs
+
     def group_sizes(self, z0):
         """Probe per-group row counts (like the reference's structure probe,
         Trajectory_Optimization.py:354-355)."""

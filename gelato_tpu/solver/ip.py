@@ -327,6 +327,13 @@ def scale_funcs(funcs, z0, scale_max=100.0, aux=()):
         "ineq": lambda z, a: dI_j * ineq(z, a),
         "_aux": True,
     }
+    # compressed Jacobians scale by the same row factors
+    if funcs.get("jac_eq") is not None:
+        jac_eq = funcs["jac_eq"]
+        scaled["jac_eq"] = lambda z, a: dE_j[:, None] * jac_eq(z, a)
+    if funcs.get("jac_ineq") is not None:
+        jac_ineq = funcs["jac_ineq"]
+        scaled["jac_ineq"] = lambda z, a: dI_j[:, None] * jac_ineq(z, a)
     return scaled, dict(obj=df, eq=dE, ineq=dI)
 
 
@@ -395,13 +402,17 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
     funcs = normalize_funcs(funcs)
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
     grad_f = jax.grad(obj)
+    # compressed (colored) Jacobians when the problem supplies them
+    # (solver/coloring.py); dense jacfwd otherwise
+    jac_eq = funcs.get("jac_eq") or jax.jacfwd(eq)
+    jac_ineq = funcs.get("jac_ineq") or jax.jacfwd(ineq)
 
     def lagrangian(z, yE, lam, aux):
         return obj(z, aux) + eq(z, aux) @ yE - ineq(z, aux) @ lam
 
     def eval_point(z, aux):
         return (obj(z, aux), grad_f(z, aux), eq(z, aux), ineq(z, aux),
-                jax.jacfwd(eq)(z, aux), jax.jacfwd(ineq)(z, aux))
+                jac_eq(z, aux), jac_ineq(z, aux))
 
     eval_hess = jax.jacfwd(jax.grad(lagrangian))
     grad_lag = jax.grad(lagrangian)
