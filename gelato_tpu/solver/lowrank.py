@@ -119,3 +119,71 @@ def kkt_solve_lowrank(fact, Ls, JE, delta_c_unused, r1, r2):
     dy = jsl.solve_triangular(Ls.T, u, lower=False)
     dz = apply_hinv(fact, r1 - JE.T @ dy)
     return dz, dy
+
+
+# ---------------------------------------------------------------------------
+# Stage B core: block-tridiagonal Cholesky (the Schur complement's structure
+# when equality rows are grouped by section — dynamics/knot rows couple only
+# adjacent sections)
+
+def blocktridiag_cholesky(Adiag, Alow):
+    """Blocked Cholesky of an SPD block-tridiagonal matrix.
+
+    ``Adiag`` [S, b, b]: diagonal blocks; ``Alow`` [S-1, b, b]: sub-diagonal
+    blocks (block row i+1, column i).  Returns (Ldiag, Llow) with
+    A = L Lᵀ, L lower block-bidiagonal.  One ``lax.scan`` over sections —
+    S tiny factorizations/updates instead of one (S·b)² dense chol; each
+    step is a b×b chol + triangular solve + SPD downdate (MXU matmuls).
+    """
+    jsl = jax.scipy.linalg
+    S = Adiag.shape[0]
+
+    def step(carry, inputs):
+        # carry: the SPD downdate from the previous section
+        downdate = carry
+        Ad, Al = inputs
+        Ld = jnp.linalg.cholesky(Ad - downdate)
+        # L_{i+1,i} = A_{i+1,i} L_i^{-T}
+        Ll = jsl.solve_triangular(Ld, Al.T, lower=True).T
+        return Ll @ Ll.T, (Ld, Ll)
+
+    # pad Alow with a trailing zero block so the scan has S inputs
+    Alow_pad = jnp.concatenate(
+        [Alow, jnp.zeros_like(Alow[:1])], axis=0) if S > 1 else jnp.zeros(
+            (1,) + Adiag.shape[1:])
+    _, (Ldiag, Llow_shift) = jax.lax.scan(
+        step, jnp.zeros_like(Adiag[0]), (Adiag, Alow_pad))
+    return Ldiag, Llow_shift[:-1] if S > 1 else Llow_shift[:0]
+
+
+def blocktridiag_solve(Ldiag, Llow, b_blocks):
+    """Solve L Lᵀ x = b for a block-bidiagonal Cholesky factor.
+
+    ``b_blocks`` [S, b]; forward then backward substitution, each a scan.
+    """
+    jsl = jax.scipy.linalg
+    S = Ldiag.shape[0]
+    Llow_pad = (jnp.concatenate([jnp.zeros_like(Llow[:1]), Llow], axis=0)
+                if S > 1 else jnp.zeros((1,) + Ldiag.shape[1:]))
+
+    def fwd(carry, inputs):
+        y_prev = carry
+        Ld, Ll, rhs = inputs
+        y = jsl.solve_triangular(Ld, rhs - Ll @ y_prev, lower=True)
+        return y, y
+
+    _, ys = jax.lax.scan(fwd, jnp.zeros_like(b_blocks[0]),
+                         (Ldiag, Llow_pad, b_blocks))
+
+    Llow_bwd = (jnp.concatenate([Llow, jnp.zeros_like(Llow[:1])], axis=0)
+                if S > 1 else jnp.zeros((1,) + Ldiag.shape[1:]))
+
+    def bwd(carry, inputs):
+        x_next = carry
+        Ld, Ll_next, y = inputs
+        x = jsl.solve_triangular(Ld.T, y - Ll_next.T @ x_next, lower=False)
+        return x, x
+
+    _, xs_rev = jax.lax.scan(bwd, jnp.zeros_like(b_blocks[0]),
+                             (Ldiag[::-1], Llow_bwd[::-1], ys[::-1]))
+    return xs_rev[::-1]

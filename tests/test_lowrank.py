@@ -91,3 +91,52 @@ def test_lowrank_kkt_matches_dense_chol():
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(dy_l), np.asarray(dy_d),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_blocktridiag_cholesky_and_solve():
+    """Scan-based block-tridiagonal Cholesky == dense reference."""
+    rng = np.random.default_rng(5)
+    S, b = 6, 7
+    n = S * b
+    # SPD block-tridiagonal matrix
+    A = np.zeros((n, n))
+    for i in range(S):
+        Q = rng.normal(size=(b, b))
+        A[i*b:(i+1)*b, i*b:(i+1)*b] = Q @ Q.T + 5.0 * np.eye(b)
+    for i in range(S - 1):
+        C = 0.5 * rng.normal(size=(b, b))
+        A[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = C
+        A[i*b:(i+1)*b, (i+1)*b:(i+2)*b] = C.T
+    assert np.linalg.eigvalsh(A).min() > 0
+
+    Adiag = jnp.asarray(np.stack([A[i*b:(i+1)*b, i*b:(i+1)*b]
+                                  for i in range(S)]))
+    Alow = jnp.asarray(np.stack([A[(i+1)*b:(i+2)*b, i*b:(i+1)*b]
+                                 for i in range(S - 1)]))
+    Ld, Ll = lowrank.blocktridiag_cholesky(Adiag, Alow)
+
+    # reconstruct the dense factor and check A = L L^T
+    L = np.zeros((n, n))
+    for i in range(S):
+        L[i*b:(i+1)*b, i*b:(i+1)*b] = np.asarray(Ld[i])
+    for i in range(S - 1):
+        L[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = np.asarray(Ll[i])
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-10, atol=1e-10)
+
+    rhs = rng.normal(size=(S, b))
+    x = np.asarray(lowrank.blocktridiag_solve(Ld, Ll, jnp.asarray(rhs)))
+    np.testing.assert_allclose(A @ x.ravel(), rhs.ravel(), rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_blocktridiag_single_block():
+    """Degenerate S=1 case: plain Cholesky solve."""
+    rng = np.random.default_rng(6)
+    b = 5
+    Q = rng.normal(size=(b, b))
+    A = Q @ Q.T + 3.0 * np.eye(b)
+    Ld, Ll = lowrank.blocktridiag_cholesky(jnp.asarray(A[None]),
+                                           jnp.zeros((0, b, b)))
+    rhs = rng.normal(size=(1, b))
+    x = np.asarray(lowrank.blocktridiag_solve(Ld, Ll, jnp.asarray(rhs)))
+    np.testing.assert_allclose(A @ x[0], rhs[0], rtol=1e-10, atol=1e-10)
