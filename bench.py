@@ -1,11 +1,27 @@
 """Benchmark driver: one JSON line for the round harness.
 
-Measures the full end-to-end example-case solve (problem build + initial
-guess + on-device interior-point to convergence) and reports wall-clock
-against a CPU baseline of the same workload — the reference's figure of
-merit is "wall-clock to converged NLP" (BASELINE.md).
+Measures the end-to-end example-case solve (problem build + initial guess +
+on-device interior-point to convergence) — the reference's figure of merit
+is "wall-clock to converged NLP + payload"
+(/root/reference/Trajectory_Optimization.py:503-517; BASELINE.md).
 
-Output: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Budget-resilient by design (the round-2 artifact was lost to a driver
+timeout, VERDICT r2 weak #1):
+
+* the headline JSON line prints **immediately after the measured solve**
+  (flushed) — everything optional happens afterwards;
+* the CPU comparison run is **opt-in** (``GELATO_BENCH_RUN_CPU=1``); by
+  default ``vs_baseline`` uses the recorded CPU wall-clock from BASELINE.md
+  and says so in ``baseline_source``;
+* a deadline guard stops the measured solve between scan chunks and reports
+  the partial state instead of timing out with no output.
+
+Solver configuration comes from ``bench_config.json`` (repo root), which is
+kept pointing at whatever configuration has a **warm XLA compile cache** —
+the fused-step compile is ~70 min on this toolchain, so the bench must never
+trigger a fresh trace.
+
+Output: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -13,65 +29,117 @@ import os
 import sys
 import time
 
+_T_START = time.time()
 
-def _build():
+# Round-2 measured CPU wall-clock for the identical fused workload
+# (PERF.md: 510-784 s; the conservative end is used).  See BASELINE.md
+# "IPOPT-baseline caveat": reference CPU IPOPT itself is uninstallable here,
+# so the CPU comparator is this solver's own CPU path.
+_DEFAULTS = {
+    "kkt_method": "chol",
+    "hessian": "lbfgs",
+    "colored": False,
+    "mu_init": 1.0e-3,
+    "max_iter": 2000,
+    "chunk": 40,
+    "deadline_s": 600.0,
+    "recorded_cpu_baseline_s": 510.0,
+    "baseline_source": "recorded_cpu_fused_round2 (BASELINE.md IPOPT caveat)",
+}
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _load_config():
+    cfg = dict(_DEFAULTS)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            cfg.update(json.load(f))
+    return cfg
+
+
+def _build(cfg):
     from gelato_tpu.config import load_mission
     from gelato_tpu.problem import Problem
     from gelato_tpu import initial_guess as ig
 
     candidates = [
         "/root/reference/example/example-settings.json",
-        os.path.join(os.path.dirname(__file__), "examples", "demo-settings.json"),
+        os.path.join(os.path.dirname(__file__), "examples",
+                     "example-settings.json"),
     ]
     path = next(p for p in candidates if os.path.exists(p))
     mission = load_mission(path)
     problem = Problem(mission)
     z0 = ig.initial_guess(problem)
-    return problem, z0
+    funcs = problem.solver_funcs(colored=bool(cfg["colored"]), z0=z0)
+    return problem, z0, funcs
 
 
-def _solve_once(problem, z0, device=None, max_iter=2000):
+def _opts(cfg, **over):
+    from gelato_tpu.solver import IPOptions
+
+    base = dict(max_iter=int(cfg["max_iter"]), mu_init=float(cfg["mu_init"]),
+                kkt_method=cfg["kkt_method"], hessian=cfg["hessian"])
+    base.update(over)
+    return IPOptions(**base)
+
+
+def _payload_kg(problem, st):
+    """Reference's payload report: m[0]·unit − m_init − Σ dropMass
+    (Trajectory_Optimization.py:503-509)."""
+    drop = sum(
+        i["mass"] for stg in problem.mission.stages.values()
+        for i in (stg.get("dropMass") or {}).values()
+    )
+    return float(st.z[0]) * problem.units.mass - problem.mission.m_init - drop
+
+
+def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
     import jax
-    from gelato_tpu.solver import solve_device, IPOptions
+    from gelato_tpu.solver import solve_device
 
-    funcs = {"obj": problem.objective, "eq": problem.eq_constraints,
-             "ineq": problem.ineq_constraints}
     lb, ub = problem.bounds()
-    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
+    chunk = int(cfg["chunk"])
+
+    class _null_ctx:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
 
     ctx = jax.default_device(device) if device is not None else _null_ctx()
     with ctx:
-        # warm-up solve pays the (persistent-cached) compile; the measured
-        # run reflects steady-state wall-clock
-        solve_device(funcs, z0, lb, ub, opts._replace(max_iter=40), chunk=40)
+        # warm-up chunk pays the (persistent-cached) compile + dispatch setup
+        _log(f"bench: warm-up chunk ({time.time() - _T_START:.0f}s elapsed)")
+        solve_device(funcs, z0, lb, ub, _opts(cfg, max_iter=chunk),
+                     chunk=chunk)
+        _log(f"bench: measured solve start ({time.time() - _T_START:.0f}s)")
         t0 = time.time()
-        st, info = solve_device(funcs, z0, lb, ub, opts, chunk=40)
+        st, info = solve_device(funcs, z0, lb, ub, _opts(cfg), chunk=chunk,
+                                deadline_s=deadline_s)
         wall = time.time() - t0
     return wall, info, st
 
 
-class _null_ctx:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
-def _bench_batch(problem, n_cases, max_iter=1500):
+def _bench_batch(problem, funcs, z0, cfg, n_cases):
     """Dispersion-batch throughput: n_cases wind/CA-dispersed solves in
-    lock-step (BASELINE target #2).  Returns (wall, n_converged, payloads)."""
+    lock-step (BASELINE target #2, run_batch.sh:75-79 analogue)."""
     import numpy as np
-    from gelato_tpu.batch import (solve_batch_scan, wind_dispersion_batch)
-    from gelato_tpu.solver import IPOptions
+    from gelato_tpu.batch import solve_batch_scan, wind_dispersion_batch
 
     zb, cases = wind_dispersion_batch(problem, n_cases)
-    opts = IPOptions(max_iter=max_iter, mu_init=1e-3)
-    # warm-up chunk pays the (cached) compile
-    solve_batch_scan(problem, zb, opts._replace(max_iter=40), cases=cases,
-                     chunk=40)
+    opts = _opts(cfg, max_iter=1500)
+    chunk = int(cfg["chunk"])
+    solve_batch_scan(problem, zb, opts._replace(max_iter=chunk), cases=cases,
+                     chunk=chunk)
     t0 = time.time()
-    states = solve_batch_scan(problem, zb, opts, cases=cases, chunk=40)
+    states = solve_batch_scan(problem, zb, opts, cases=cases, chunk=chunk)
     wall = time.time() - t0
     conv = np.asarray(states.ip.converged)
     drop = sum(
@@ -80,66 +148,76 @@ def _bench_batch(problem, n_cases, max_iter=1500):
     )
     payloads = (np.asarray(states.ip.z[:, 0]) * problem.units.mass
                 - problem.mission.m_init - drop)
-    return wall, int(conv.sum()), payloads
+    print(json.dumps({
+        "metric": "dispersion_batch_wall_clock",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(
+            n_cases * float(cfg["recorded_cpu_baseline_s"]) / wall, 3),
+        "baseline_source": f"{n_cases} x " + str(cfg["baseline_source"]),
+        "n_cases": n_cases,
+        "n_converged": int(conv.sum()),
+        "s_per_case": round(wall / n_cases, 3),
+        "payload_kg_mean": round(float(payloads.mean()), 3),
+        "payload_kg_std": round(float(payloads.std()), 3),
+    }), flush=True)
 
 
 def main():
     import jax
 
-    problem, z0 = _build()
+    cfg = _load_config()
+    _log(f"bench: config {cfg}")
+    problem, z0, funcs = _build(cfg)
 
     n_batch = int(os.environ.get("GELATO_BENCH_BATCH", "0"))
     if n_batch:
-        wall, n_conv, payloads = _bench_batch(problem, n_batch)
-        print(json.dumps({
-            "metric": "dispersion_batch_wall_clock",
-            "value": round(wall, 3),
-            "unit": "s",
-            "vs_baseline": None,
-            "n_cases": n_batch,
-            "n_converged": n_conv,
-            "s_per_case": round(wall / n_batch, 3),
-            "payload_kg_mean": round(float(payloads.mean()), 3),
-            "payload_kg_std": round(float(payloads.std()), 3),
-        }))
+        _bench_batch(problem, funcs, z0, cfg, n_batch)
         return
 
-    # accelerator run (default device = TPU when present)
-    wall, info, st = _solve_once(problem, z0)
+    deadline = float(os.environ.get("GELATO_BENCH_DEADLINE",
+                                    cfg["deadline_s"]))
+    wall, info, st = _solve_once(problem, funcs, z0, cfg,
+                                 deadline_s=deadline)
 
-    # CPU baseline of the identical workload (skippable via env for speed)
-    vs_baseline = 1.0
-    if os.environ.get("BENCH_SKIP_CPU_BASELINE", "") != "1":
-        try:
-            cpu = jax.devices("cpu")[0]
-            wall_cpu, info_cpu, _ = _solve_once(problem, z0, device=cpu)
-            vs_baseline = wall_cpu / wall
-        except Exception:
-            vs_baseline = 1.0
-
-    # payload per the reference's report: m[0] - m_init - Σ dropMass
-    # (Trajectory_Optimization.py:503-509)
-    drop = sum(
-        i["mass"] for stg in problem.mission.stages.values()
-        for i in (stg.get("dropMass") or {}).values()
-    )
-    payload = float(st.z[0]) * problem.units.mass - problem.mission.m_init - drop
-    import numpy as np
+    # max equality violation via a jitted (cache-served) evaluation — an
+    # eager evaluation would pay ~30 ms/op over the remote dispatch tunnel
     import jax.numpy as jnp
-    viol = float(np.abs(np.asarray(
-        problem.eq_constraints(jnp.asarray(st.z)))).max())
+    viol = float(jax.jit(
+        lambda z: jnp.max(jnp.abs(problem.eq_constraints(z))))(st.z))
+
+    vs_baseline = float(cfg["recorded_cpu_baseline_s"]) / wall
+    # headline line FIRST — nothing after this can lose the artifact
     print(json.dumps({
         "metric": "example_case_solve_wall_clock",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(vs_baseline, 3),
+        "baseline_source": cfg["baseline_source"],
         "converged": bool(info["converged"]),
         "status": info["status"],
+        "deadline_hit": bool(info.get("deadline_hit", False)),
         "kkt_error": float(info["err"]),
         "max_eq_violation": viol,
         "iterations": int(info["iterations"]),
-        "payload_kg": round(payload, 3),
-    }))
+        "payload_kg": round(_payload_kg(problem, st), 3),
+        "config": {k: cfg[k] for k in
+                   ("kkt_method", "hessian", "colored", "chunk")},
+    }), flush=True)
+
+    # optional live CPU comparison (same workload on the host CPU) — opt-in
+    # because it takes ~510-784 s on this 1-vCPU host and the driver's budget
+    # does not cover it (the round-2 rc=124 lesson)
+    if os.environ.get("GELATO_BENCH_RUN_CPU", "") == "1":
+        cpu = jax.devices("cpu")[0]
+        wall_cpu, info_cpu, _ = _solve_once(problem, funcs, z0, cfg,
+                                            device=cpu)
+        _log(json.dumps({
+            "metric": "example_case_cpu_comparison",
+            "value": round(wall_cpu, 3), "unit": "s",
+            "converged": bool(info_cpu["converged"]),
+            "iterations": int(info_cpu["iterations"]),
+        }))
 
 
 if __name__ == "__main__":

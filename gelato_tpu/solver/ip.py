@@ -1110,7 +1110,8 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
 
 
 def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
-                 chunk=40, callback=None, warm=None, aux=()):
+                 chunk=40, callback=None, warm=None, aux=(),
+                 deadline_s=None):
     """Low-dispatch solve: ``chunk`` fused iterations per device round-trip.
 
     The whole iteration (residuals, Jacobians, L-BFGS Hessian, KKT factor,
@@ -1118,9 +1119,17 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     only checks convergence between chunks.  This is the TPU execution path —
     the piecewise host loop of :func:`solve` is kept for CPU debugging and
     for the filter-with-memory/SOC extras it provides.
+
+    ``deadline_s`` (host-side only, does not affect the compiled program):
+    stop between chunks once this much wall-clock has elapsed and return the
+    partial state — callers with an external time budget (bench.py) get a
+    reportable result instead of nothing.
     """
+    import time as _time
+
     from .warm_start import apply_warm
 
+    t_end = (_time.time() + deadline_s) if deadline_s else None
     step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0,
                                    aux_example=aux)
     fst = state0(jnp.asarray(z0), aux)
@@ -1133,12 +1142,16 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
             return step(c, aux), None
         return jax.lax.scan(body, fst, None, length=chunk)[0]
 
+    deadline_hit = False
     n_chunks = (opts.max_iter + chunk - 1) // chunk
     for k in range(n_chunks):
         fst = run_chunk(fst, aux)
         if callback is not None:
             callback(k, fst.ip)
         if bool(fst.ip.converged):
+            break
+        if t_end is not None and _time.time() > t_end:
+            deadline_hit = True
             break
     st = fst.ip
     final_err = float(st.err0)
@@ -1154,5 +1167,6 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
         "acceptable": status == "acceptable",
         "status": status,
         "err": final_err,
+        "deadline_hit": deadline_hit,
     }
     return st, info
