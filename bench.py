@@ -76,7 +76,9 @@ def _build(cfg):
     mission = load_mission(path)
     problem = Problem(mission)
     z0 = ig.initial_guess(problem)
-    funcs = problem.solver_funcs(colored=bool(cfg["colored"]), z0=z0)
+    funcs = problem.solver_funcs(colored=bool(cfg["colored"]),
+                                 structured=cfg["kkt_method"] == "struct",
+                                 z0=z0)
     return problem, z0, funcs
 
 
@@ -129,24 +131,31 @@ def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
 
 def _bench_batch(problem, funcs, z0, cfg, n_cases):
     """Dispersion-batch throughput: n_cases wind/CA-dispersed solves in
-    lock-step (BASELINE target #2, run_batch.sh:75-79 analogue)."""
+    lock-step vmapped lanes, chunked to fit HBM (BASELINE target #2,
+    run_batch.sh:75-79 analogue)."""
     import numpy as np
-    from gelato_tpu.batch import solve_batch_scan, wind_dispersion_batch
+    from gelato_tpu.batch import (solve_batch_chunked, solve_batch_scan,
+                                  wind_dispersion_batch)
 
+    lanes = int(os.environ.get("GELATO_BENCH_BATCH_LANES", "32"))
+    lanes = min(lanes, n_cases)
     zb, cases = wind_dispersion_batch(problem, n_cases)
     opts = _opts(cfg, max_iter=1500)
     chunk = int(cfg["chunk"])
-    solve_batch_scan(problem, zb, opts._replace(max_iter=chunk), cases=cases,
-                     chunk=chunk)
+    # warm-up: one iteration chunk on the first lane block pays the compile
+    import jax
+    warm_cases = jax.tree.map(lambda x: x[:lanes], cases)
+    solve_batch_scan(problem, zb[:lanes], opts._replace(max_iter=chunk),
+                     cases=warm_cases, chunk=chunk)
     t0 = time.time()
-    states = solve_batch_scan(problem, zb, opts, cases=cases, chunk=chunk)
+    res = solve_batch_chunked(problem, zb, opts, cases=cases, lanes=lanes,
+                              chunk=chunk)
     wall = time.time() - t0
-    conv = np.asarray(states.ip.converged)
     drop = sum(
         i["mass"] for stg in problem.mission.stages.values()
         for i in (stg.get("dropMass") or {}).values()
     )
-    payloads = (np.asarray(states.ip.z[:, 0]) * problem.units.mass
+    payloads = (res["z"][:, 0] * problem.units.mass
                 - problem.mission.m_init - drop)
     print(json.dumps({
         "metric": "dispersion_batch_wall_clock",
@@ -156,7 +165,8 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases):
             n_cases * float(cfg["recorded_cpu_baseline_s"]) / wall, 3),
         "baseline_source": f"{n_cases} x " + str(cfg["baseline_source"]),
         "n_cases": n_cases,
-        "n_converged": int(conv.sum()),
+        "lanes": lanes,
+        "n_converged": int(res["converged"].sum()),
         "s_per_case": round(wall / n_cases, 3),
         "payload_kg_mean": round(float(payloads.mean()), 3),
         "payload_kg_std": round(float(payloads.std()), 3),

@@ -26,8 +26,19 @@ from .problem import Problem
 from .solver.ip import IPOptions, make_fused_step
 
 
-def _case_funcs(problem: Problem):
-    """Two-argument (z, case) problem functions for the aux channel."""
+def _case_funcs(problem: Problem, opts: IPOptions, z0_ref=None,
+                colored=False):
+    """Two-argument (z, case) problem functions for the aux channel.
+
+    With ``opts.kkt_method == "struct"`` (or ``colored=True``) the dict
+    carries the probed structure metadata / compressed Jacobians — the
+    structured KKT is what removes the per-lane n² matrices that cap
+    on-chip batch sizes (PERF.md round-2 HBM analysis).
+    """
+    structured = opts.kkt_method == "struct"
+    if structured or colored:
+        return problem.solver_funcs(colored=colored, structured=structured,
+                                    z0=z0_ref)
     return {
         "obj": lambda z, c: problem.objective(z, c),
         "eq": lambda z, c: problem.eq_constraints(z, c),
@@ -37,7 +48,7 @@ def _case_funcs(problem: Problem):
 
 
 def make_batch_step(problem: Problem, opts: IPOptions = IPOptions(),
-                    z0_ref=None):
+                    z0_ref=None, colored=False):
     """(step, state0): vmappable one-iteration step for this problem.
 
     ``step(fst, case)`` / ``state0(z0, case)`` — vmap over both to give every
@@ -46,8 +57,8 @@ def make_batch_step(problem: Problem, opts: IPOptions = IPOptions(),
     case).
     """
     lb, ub = problem.bounds()
-    return make_fused_step(_case_funcs(problem), lb, ub, opts,
-                           z0_scale_ref=z0_ref,
+    return make_fused_step(_case_funcs(problem, opts, z0_ref, colored),
+                           lb, ub, opts, z0_scale_ref=z0_ref,
                            aux_example=problem.case_nominal())
 
 
@@ -137,6 +148,50 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
         if bool(jnp.all(states.ip.converged)):
             break
     return states
+
+
+def solve_batch_chunked(problem: Problem, z0_batch,
+                        opts: IPOptions = IPOptions(), cases=None, lanes=32,
+                        chunk=40, verbose=True):
+    """Large dispersion batches as sequential on-chip chunks of ``lanes``
+    cases each (all chunks reuse one compiled program since shapes match).
+
+    This is how a 256-case study runs on one chip whose HBM bounds the
+    simultaneous lane count (PERF.md round-2 analysis); with more chips the
+    same lanes shard over a Mesh instead.  Returns a dict of stacked
+    per-case results (z, converged, iterations, err).
+    """
+    import time
+
+    z0_batch = np.asarray(z0_batch)
+    B = z0_batch.shape[0]
+    if cases is None:
+        cases = broadcast_cases(problem, B)
+    pad = (-B) % lanes
+    if pad:  # pad the tail chunk so every chunk compiles to the same shapes
+        z0_batch = np.concatenate([z0_batch, z0_batch[-1:].repeat(pad, 0)])
+        cases = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0), cases)
+
+    out = {"z": [], "converged": [], "iterations": [], "err": []}
+    for a in range(0, B + pad, lanes):
+        sl = slice(a, a + lanes)
+        sub = jax.tree.map(lambda x: x[sl], cases)
+        t0 = time.time()
+        states = solve_batch_scan(problem, z0_batch[sl], opts, cases=sub,
+                                  chunk=chunk)
+        ip = states.ip
+        out["z"].append(np.asarray(ip.z))
+        out["converged"].append(np.asarray(ip.converged))
+        out["iterations"].append(np.asarray(ip.it))
+        out["err"].append(np.asarray(ip.err0))
+        if verbose:
+            print(f"batch chunk {a // lanes + 1}/{(B + pad) // lanes}: "
+                  f"{out['converged'][-1].sum()}/{lanes} converged "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+    res = {k: np.concatenate(v)[:B] for k, v in out.items()}
+    return res
 
 
 def dispersion_cases(problem: Problem, n_cases, sigma_wind=5.0,

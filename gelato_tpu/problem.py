@@ -732,7 +732,30 @@ class Problem:
         g = self.ineq_constraint_groups(z, case)
         return jnp.concatenate([v for v in g.values() if v.size])
 
-    def solver_funcs(self, colored=False, z0=None):
+    def var_sections(self):
+        """Per-variable section id [n_z] (int).
+
+        Every variable belongs to exactly one section: state/control nodes
+        via the SectionStack index ranges, knot time t_j to the section it
+        starts (t_S to the last).  This is the map the structured KKT's row
+        grouping uses — the TPU-native stand-in for the reference's
+        hand-maintained ``wrt`` block map
+        (Trajectory_Optimization.py:358-381).
+        """
+        ps, S = self.ps, self.S
+        x_sec = np.zeros(self.M, dtype=np.int32)
+        u_sec = np.zeros(self.N, dtype=np.int32)
+        for i in range(S):
+            ua, ub, xa, xb, n = ps.get_index(i)
+            x_sec[xa:xb] = i
+            u_sec[ua:ub] = i
+        t_sec = np.minimum(np.arange(S + 1), S - 1).astype(np.int32)
+        return np.concatenate([
+            x_sec, np.repeat(x_sec, 3), np.repeat(x_sec, 3),
+            np.repeat(x_sec, 4), np.repeat(u_sec, 2), t_sec,
+        ])
+
+    def solver_funcs(self, colored=False, structured=False, z0=None):
         """Problem-function dict for the IP solver.
 
         The returned functions take ``(z, case)`` (the solver's aux channel;
@@ -741,7 +764,12 @@ class Problem:
         (solver/coloring.py) — the TPU-native replacement for the
         reference's hand-written `wrt` sparsity map
         (Trajectory_Optimization.py:358-381); ``z0`` is the pattern-probe
-        point (defaults to the nominal initial guess).
+        point (defaults to the nominal initial guess).  With
+        ``structured=True`` the dict carries ``struct_meta`` (equality-row
+        section grouping) enabling ``IPOptions(kkt_method="struct")``.
+        The structural probes run pinned to a host CPU device so they never
+        trigger a fresh accelerator compile (the probe is one-time host
+        work; the pattern is platform-independent).
         """
         funcs = {
             "obj": lambda z, c: self.objective(z, c),
@@ -749,17 +777,38 @@ class Problem:
             "ineq": lambda z, c: self.ineq_constraints(z, c),
             "_aux": True,
         }
-        if colored:
-            from . import initial_guess as ig
-            from .solver.coloring import colored_jacobian
+        if not (colored or structured):
+            return funcs
 
-            if z0 is None:
-                z0 = ig.initial_guess(self)
-            jac_eq, info_e = colored_jacobian(funcs["eq"], z0)
-            jac_in, info_i = colored_jacobian(funcs["ineq"], z0)
-            funcs["jac_eq"] = jac_eq
-            funcs["jac_ineq"] = jac_in
-            funcs["coloring_info"] = dict(eq=info_e, ineq=info_i)
+        from . import initial_guess as ig
+        from .solver.coloring import (jacobian_pattern, greedy_color,
+                                      make_colored_jacfwd)
+
+        if z0 is None:
+            z0 = ig.initial_guess(self)
+        try:
+            cpu = jax.devices("cpu")[0]
+            ctx = jax.default_device(cpu)
+        except RuntimeError:
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
+            pat_eq = jacobian_pattern(funcs["eq"], z0)
+            pat_in = jacobian_pattern(funcs["ineq"], z0)
+        if colored:
+            color_e = greedy_color(pat_eq)
+            color_i = greedy_color(pat_in)
+            funcs["jac_eq"] = make_colored_jacfwd(funcs["eq"], pat_eq, color_e)
+            funcs["jac_ineq"] = make_colored_jacfwd(funcs["ineq"], pat_in,
+                                                    color_i)
+            funcs["coloring_info"] = dict(
+                eq=dict(n_colors=int(color_e.max()) + 1, m=pat_eq.shape[0]),
+                ineq=dict(n_colors=int(color_i.max()) + 1, m=pat_in.shape[0]))
+        if structured:
+            from .solver.structured import build_struct_meta
+
+            funcs["struct_meta"] = build_struct_meta(pat_eq, pat_in,
+                                                     self.var_sections())
         return funcs
 
     def group_sizes(self, z0):

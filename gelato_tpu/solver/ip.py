@@ -88,6 +88,10 @@ class IPOptions(NamedTuple):
     # system (CPU debugging).  See solver/linalg.py.
     kkt_method: str = "chol"
     kkt_refine: int = 1
+    # acceptance gate on the structured solve's measured relative KKT
+    # residual (the struct path's stand-in for the chol-NaN inertia oracle;
+    # see direction_struct)
+    struct_rtol: float = 1.0e-4
     scale: bool = True  # gradient-based constraint/objective scaling
     scale_max: float = 100.0
     # Lagrangian Hessian mode.  "lbfgs" (damped limited-memory BFGS) is the
@@ -392,13 +396,20 @@ class LBFGSHessian:
         self.pairs = []
 
 
-def make_pieces(funcs, lb, ub, opts: IPOptions):
+def make_pieces(funcs, lb, ub, opts: IPOptions, struct_meta=None):
     """Build the jitted compute pieces over *relaxed* bounds.
 
     Every function-evaluating piece takes a trailing ``aux`` pytree (per-case
     problem data; ``()`` for single-case solves — see :func:`normalize_funcs`).
+
+    ``struct_meta`` (solver/structured.StructMeta) enables the structured
+    condensed-KKT direction for the L-BFGS path
+    (``opts.kkt_method == "struct"``); the dense pieces then fall back to
+    the condensed Cholesky for exact-Hessian iterations.
     """
-    kkt_method = opts.kkt_method
+    # the dense direction's factorization; "struct" applies only to the
+    # low-rank (L-BFGS) path, so dense work falls back to "chol"
+    kkt_method = "chol" if opts.kkt_method == "struct" else opts.kkt_method
     funcs = normalize_funcs(funcs)
     obj, eq, ineq = funcs["obj"], funcs["eq"], funcs["ineq"]
     grad_f = jax.grad(obj)
@@ -486,6 +497,73 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
         d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
         return d
 
+    def direction_struct(st: IPState, g, cE, cI, JE, JI, sVc, mu):
+        """Newton direction via the structured *augmented* KKT (no dense H,
+        no dense Schur chol — see solver/structured.py).  ``sVc`` is the
+        factored L-BFGS Hessian (sigma, V, c) from lowrank.lbfgs_factors;
+        the inequality block stays as explicit Schur rows with the benign
+        s/λ diagonal instead of being condensed into H (stability — see
+        structured.py's module note)."""
+        from . import structured
+
+        sigma, Vb, cb = sVc
+        z, s = st.z, st.s
+        dl = z - lb
+        du = ub - z
+        sigma_z = st.zL / dl + st.zU / du
+
+        Dd = sigma + sigma_z + st.delta_w + opts.delta_w_floor
+
+        r1 = -(g + JE.T @ st.yE - JI.T @ st.lam - mu / dl + mu / du)
+        r2 = -cE
+        r3 = mu / st.lam - cI
+        delta_c = jnp.where(st.delta_w > 0.0,
+                            opts.delta_c_bar * mu ** opts.kappa_c,
+                            opts.delta_c)
+        gdiag = jnp.concatenate([
+            jnp.full(cE.shape[0], delta_c), s / st.lam])
+        fact = structured.factorize(Dd, Vb, cb, JE, JI, gdiag, struct_meta)
+        dz, dyE, w = structured.solve(fact, struct_meta, r1, r2, r3,
+                                      opts.kkt_refine)
+        # Residual gate — the struct path's inertia/breakdown oracle.  The
+        # dense path signals an unusable system via chol-NaN; QR-based
+        # Woodbury/SMW instead can return finite-but-inaccurate solutions
+        # on breakdown, so the measured relative KKT residual routes those
+        # iterations into the same δ_w retry.
+        dyw = jnp.concatenate([dyE, w])
+        rel = structured.kkt_residual(fact, struct_meta, dz, dyw, r1,
+                                      jnp.concatenate([r2, r3]))
+        solve_ok = (jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyw))
+                    & (rel < opts.struct_rtol))
+        # curvature w.r.t. the *condensed* Hessian (H₀ + J_IᵀΣ_sJ_I), the
+        # operator the dense path tests
+        sigma_s = st.lam / s
+        Hdz = (structured.h0matvec(fact, dz)
+               + JI.T @ (sigma_s * (JI @ dz)))
+        curv = dz @ Hdz
+        curv_ok = curv > 1.0e-14 * (dz @ dz)
+
+        d = _finish(st, cI, JI, g, mu, dz, dyE)
+        d.update(solve_ok=solve_ok, curv_ok=curv_ok, fact=fact,
+                 rhs_primal=jnp.concatenate([r1, r3]))
+        return d
+
+    def soc_direction_struct(st: IPState, g, cI, JI, mu, fact, rhs_primal,
+                             c_soc):
+        """SOC through the structured factors (mirror of soc_direction).
+
+        ``rhs_primal`` carries the packed (r1, r3) of the primary direction
+        — the SOC changes only the equality right-hand side."""
+        from . import structured
+
+        n = st.z.shape[0]
+        r1, r3 = rhs_primal[:n], rhs_primal[n:]
+        dz, dyE, w = structured.solve(fact, struct_meta, r1, -c_soc, r3,
+                                      opts.kkt_refine)
+        d = _finish(st, cI, JI, g, mu, dz, dyE)
+        d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
+        return d
+
     def phi_theta(z, s, mu, aux):
         """Barrier objective and constraint violation at a point."""
         bar = (jnp.sum(jnp.log(s)) + jnp.sum(jnp.log(z - lb))
@@ -540,6 +618,8 @@ def make_pieces(funcs, lb, ub, opts: IPOptions):
 
     raw = dict(eval_point=eval_point, eval_hess=eval_hess, grad_lag=grad_lag,
                direction=direction, soc_direction=soc_direction,
+               direction_struct=direction_struct,
+               soc_direction_struct=soc_direction_struct,
                phi_theta=phi_theta, trial=trial,
                apply_step=apply_step, errors=errors, slack_reset=slack_reset)
     pieces = {k: jax.jit(v) for k, v in raw.items()}
@@ -848,13 +928,20 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
     solves physically distinct problem data (wind tables, dispersed masses).
     ``aux_example`` is the nominal case used for the shared gradient scaling.
     """
+    struct_meta = (funcs.get("struct_meta")
+                   if isinstance(funcs, dict) else None)
     funcs = normalize_funcs(funcs)
     aux_ex = () if aux_example is None else aux_example
     if opts.scale and z0_scale_ref is not None:
         funcs, _ = scale_funcs(funcs, z0_scale_ref, opts.scale_max, aux_ex)
     lbr, ubr = relaxed_bounds(lb, ub, opts)
-    raw = make_pieces(funcs, lbr, ubr, opts)["raw"]
+    raw = make_pieces(funcs, lbr, ubr, opts, struct_meta=struct_meta)["raw"]
     use_lbfgs = opts.hessian in ("lbfgs", "hybrid")
+    use_struct = opts.kkt_method == "struct"
+    if use_struct and struct_meta is None:
+        raise ValueError(
+            "kkt_method='struct' needs funcs['struct_meta'] — build the "
+            "function dict with Problem.solver_funcs(structured=True)")
     f64 = jnp.float64
 
     def filter_ok(theta_t, phi_t, fst):
@@ -881,11 +968,16 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
         return {k: d[k] for k in ("dz", "ds", "dyE", "dlam", "dzL", "dzU",
                                   "alpha_dual")}
 
-    def linesearch_soc(fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux):
+    def linesearch_soc(fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux,
+                       soc_fn=None):
         """Full-step trial → SOC on infeasibility growth → backtracking.
 
-        Returns (ok, alpha, d_used_small, by_armijo).
+        ``soc_fn`` computes the second-order correction from the direction's
+        factors (defaults to the dense-KKT soc_direction; the structured
+        path passes its own).  Returns (ok, alpha, d_used_small, by_armijo).
         """
+        if soc_fn is None:
+            soc_fn = raw["soc_direction"]
         z, s = st_r.z, st_r.s
         dphi = d["dphi"]
         alpha_max = d["alpha_max"]
@@ -905,8 +997,8 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
 
         def soc_branch(_):
             c_soc = alpha_max * cE + cE_t
-            d_soc = raw["soc_direction"](st_r, g, cI, JI, mu, d["fact"],
-                                         d["rhs_primal"], c_soc)
+            d_soc = soc_fn(st_r, g, cI, JI, mu, d["fact"],
+                           d["rhs_primal"], c_soc)
             a_soc = d_soc["alpha_max"]
             phi_c, theta_c, _ = raw["trial"](z, s, d_soc["dz"], d_soc["ds"],
                                              a_soc, mu, aux)
@@ -979,7 +1071,78 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
             filt_idx=jnp.where(mu_drop, 0, fst.filt_idx))
 
         phi0, theta0 = raw["phi_theta"](st_r.z, st_r.s, mu, aux)
-        if opts.hessian == "hybrid":
+
+        def run_retry(direction_fn, soc_fn):
+            """Bounded inertia-retry loop: re-factor with growing δ_w,
+            reusing the evaluated point (g, cE, cI, JE, JI, Hessian)."""
+            n = st_r.z.shape[0]
+            zeros_d = dict(
+                dz=jnp.zeros(n), ds=jnp.zeros_like(st_r.s),
+                dyE=jnp.zeros_like(st_r.yE), dlam=jnp.zeros_like(st_r.lam),
+                dzL=jnp.zeros(n), dzU=jnp.zeros(n),
+                alpha_dual=jnp.asarray(0.0, f64))
+            init = dict(
+                delta=st_r.delta_w, k=jnp.asarray(0),
+                done=jnp.asarray(False), alpha=jnp.asarray(0.0, f64),
+                d=zeros_d, by_armijo=jnp.asarray(False),
+                delta_used=st_r.delta_w)
+
+            def retry_cond(c):
+                return (~c["done"]) & (c["k"] < opts.max_inertia_retries)
+
+            def retry_body(c):
+                st_try = st_r._replace(delta_w=c["delta"])
+                d = direction_fn(st_try)
+                ls_ok, alpha, d_used, by_arm = linesearch_soc(
+                    fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux,
+                    soc_fn)
+                success = d["solve_ok"] & d["curv_ok"] & ls_ok
+                take = success & ~c["done"]
+                d_new = jax.tree.map(
+                    lambda a, b: jnp.where(take, a, b), d_used, c["d"])
+                delta_next = jnp.where(
+                    c["delta"] == 0.0, opts.delta_w_init,
+                    jnp.minimum(c["delta"] * 100.0, opts.delta_w_max))
+                return dict(
+                    delta=delta_next, k=c["k"] + 1, done=c["done"] | success,
+                    alpha=jnp.where(take, alpha, c["alpha"]), d=d_new,
+                    by_armijo=jnp.where(take, by_arm, c["by_armijo"]),
+                    delta_used=jnp.where(take, c["delta"], c["delta_used"]))
+
+            return jax.lax.while_loop(retry_cond, retry_body, init)
+
+        def retry_dense(W):
+            return run_retry(
+                lambda st_try: raw["direction"](st_try, g, cE, cI, JE, JI,
+                                                W, mu),
+                raw["soc_direction"])
+
+        def retry_struct(_):
+            """Structured condensed KKT on the factored L-BFGS Hessian:
+            no dense n×n H, no dense Schur Cholesky (solver/structured.py)."""
+            from .lowrank import lbfgs_factors
+
+            sVc = lbfgs_factors(fst.S, fst.Y, fst.count)
+            return run_retry(
+                lambda st_try: raw["direction_struct"](st_try, g, cE, cI,
+                                                       JE, JI, sVc, mu),
+                raw["soc_direction_struct"])
+
+        if use_struct and opts.hessian == "hybrid":
+            # exact-Newton endgame through the dense path (an exact Hessian
+            # is not low-rank); L-BFGS iterations through the structured
+            # path.  lax.cond executes only the taken branch at B=1, and
+            # the dense n² work exists only inside the exact branch.
+            use_exact = ((mu <= opts.hybrid_mu_switch)
+                         & (err0 <= opts.hybrid_err_switch))
+            out = jax.lax.cond(
+                use_exact,
+                lambda _: retry_dense(
+                    raw["eval_hess"](st_r.z, st_r.yE, st_r.lam, aux)),
+                retry_struct, None)
+        elif use_struct and use_lbfgs:
+            out = retry_struct(None)
+        elif opts.hessian == "hybrid":
             # exact-Newton endgame: once the barrier and error are small,
             # switch from L-BFGS to the AD Lagrangian Hessian — measured to
             # cut the tail from ~400 grinding iterations to a few dozen
@@ -994,47 +1157,12 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
                 lambda _: raw["eval_hess"](st_r.z, st_r.yE, st_r.lam, aux),
                 lambda _: _lbfgs_matrix_device(fst.S, fst.Y, fst.count),
                 None)
+            out = retry_dense(W)
         elif use_lbfgs:
-            W = _lbfgs_matrix_device(fst.S, fst.Y, fst.count)
+            out = retry_dense(_lbfgs_matrix_device(fst.S, fst.Y, fst.count))
         else:
-            W = raw["eval_hess"](st_r.z, st_r.yE, st_r.lam, aux)
-
-        # --- bounded inertia-retry loop: re-factor with growing δ_w,
-        #     reusing the evaluated point (g, cE, cI, JE, JI, W) ---
-        n = st_r.z.shape[0]
-        zeros_d = dict(
-            dz=jnp.zeros(n), ds=jnp.zeros_like(st_r.s),
-            dyE=jnp.zeros_like(st_r.yE), dlam=jnp.zeros_like(st_r.lam),
-            dzL=jnp.zeros(n), dzU=jnp.zeros(n),
-            alpha_dual=jnp.asarray(0.0, f64))
-        init = dict(
-            delta=st_r.delta_w, k=jnp.asarray(0),
-            done=jnp.asarray(False), alpha=jnp.asarray(0.0, f64),
-            d=zeros_d, by_armijo=jnp.asarray(False),
-            delta_used=st_r.delta_w)
-
-        def retry_cond(c):
-            return (~c["done"]) & (c["k"] < opts.max_inertia_retries)
-
-        def retry_body(c):
-            st_try = st_r._replace(delta_w=c["delta"])
-            d = raw["direction"](st_try, g, cE, cI, JE, JI, W, mu)
-            ls_ok, alpha, d_used, by_arm = linesearch_soc(
-                fst, st_r, d, g, cE, cI, JI, mu, phi0, theta0, aux)
-            success = d["solve_ok"] & d["curv_ok"] & ls_ok
-            take = success & ~c["done"]
-            d_new = jax.tree.map(
-                lambda a, b: jnp.where(take, a, b), d_used, c["d"])
-            delta_next = jnp.where(
-                c["delta"] == 0.0, opts.delta_w_init,
-                jnp.minimum(c["delta"] * 100.0, opts.delta_w_max))
-            return dict(
-                delta=delta_next, k=c["k"] + 1, done=c["done"] | success,
-                alpha=jnp.where(take, alpha, c["alpha"]), d=d_new,
-                by_armijo=jnp.where(take, by_arm, c["by_armijo"]),
-                delta_used=jnp.where(take, c["delta"], c["delta_used"]))
-
-        out = jax.lax.while_loop(retry_cond, retry_body, init)
+            out = retry_dense(
+                raw["eval_hess"](st_r.z, st_r.yE, st_r.lam, aux))
         accept = out["done"]
         alpha = jnp.where(accept, out["alpha"], 0.0)
 

@@ -1,37 +1,52 @@
-"""Structured condensed KKT: Woodbury H⁻¹ + bordered block-tridiagonal Schur.
+"""Structured condensed KKT: Woodbury H₀⁻¹ + bordered block-tridiagonal Schur.
 
 This is the "Stage A+B wired together" solver (VERDICT r2 item 2) that
 replaces the two dense fp64 Cholesky factorizations of
-:mod:`gelato_tpu.solver.linalg` on the L-BFGS path.  The key structural
-facts, which the reference hand-encodes in its ``wrt`` sparsity map
-(/root/reference/Trajectory_Optimization.py:358-381):
+:mod:`gelato_tpu.solver.linalg` on the L-BFGS path.
 
-* the condensed primal Hessian is **diagonal + low-rank**:
-      H = D + Ṽ diag(c̃) Ṽᵀ,
-      D  = σ·I + Σ_z + δ_w   (all positive),
-      Ṽ  = [V_lbfgs | J_Iᵀ],  c̃ = [±1 … | σ_s]
-  so H⁻¹ is a Woodbury application (O(n·k), k = 2·mem + m_I ≈ 10², no n²
-  memory) with a k×k QR-factored core;
-* the Schur complement  S = J_E H⁻¹ J_Eᵀ + δ_c I  splits as
-      S = T − U M⁻¹ Uᵀ,   T = J_E D⁻¹ J_Eᵀ + δ_c I,   U = J_E D⁻¹ Ṽ,
-  and **T is block-tridiagonal over sections plus a small border**:
-  an equality row only touches variables of one section or two adjacent
-  ones (collocation defects, knots, waypoints), except a handful of global
-  rows (time-reference chains, stage-mass links) that form the border.
-  T is factored by a ``lax.scan`` block Cholesky (S tiny b×b factors
-  instead of one m_E² dense chol) with a dense border Schur complement,
-  and the rank-k correction is folded back via a second
-  Sherman-Morrison-Woodbury with a k×k QR-factored core.
+Formulation (chosen for *stability parity* with the dense path, learned the
+hard way — see the stability note below):
 
-Row grouping is **discovered, not hand-maintained**: the AD Jacobian is
+    [ H₀   J_Eᵀ   J_Iᵀ  ] [dz ]   [ r1 ]      H₀ = D + V diag(c) Vᵀ
+    [ J_E  −δ_c I   0   ] [dy ] = [ r2 ]      D  = σ·I + Σ_z + δ_w > 0
+    [ J_I    0    −Σ_s⁻¹ ] [ w ]   [ r3 ]      c  = ±1 (damped-BFGS pairs)
+
+where Σ_s = diag(λ/s) and w = −dλ.  Eliminating w reproduces the dense
+path's condensed system exactly (r1 = −r_d, r2 = −c_E, r3 = μ/λ − c_I), but
+the factorization never forms H₀ + J_IᵀΣ_sJ_I: the Schur complement over
+(dy, w) is
+
+    Ŝ = Ĵ H₀⁻¹ Ĵᵀ + Ĝ,   Ĵ = [J_E; J_I],   Ĝ = diag([δ_c·1, s/λ])
+
+* H₀⁻¹ is a Woodbury application over the 2·mem BFGS columns only —
+  moderate scale by Powell damping, k×k QR core (fp64 LU does not exist on
+  TPU; QR does);
+* Ŝ = T̂ − U M⁻¹ Uᵀ with T̂ = Ĵ D⁻¹ Ĵᵀ + Ĝ **block-tridiagonal over
+  sections plus a small border** (constraint rows touch one section or two
+  adjacent ones; global rows — time-reference chains, stage-mass links —
+  fall into the border), factored by a ``lax.scan`` block Cholesky with a
+  dense border Schur complement, and the rank-k BFGS correction folded back
+  via a second SMW with a k×k QR core.
+
+**Stability note (why the inequality block is NOT condensed into H):** the
+first implementation used H = D + [V|J_Iᵀ] diag([c, σ_s]) [..]ᵀ and applied
+Woodbury over σ_s = λ/s columns.  Near-active inequalities drive σ_s to
+1e16; computing (D + huge·PSD)⁻¹ as a *correction to D⁻¹* then cancels
+catastrophically — measured KKT residuals of 1e18 exactly where the dense
+path's chol signals NaN, and worse, *finite garbage* in the recovery regime
+(δ_w ~ 1e12) so the solver wedged permanently.  In the augmented form the
+extreme scales live on Ĝ's diagonal (s/λ → 0 additive, harmless) and every
+term of T̂ is an SPD *addition*, matching dense-Cholesky's stability.
+
+Row grouping is **discovered, not hand-maintained**: the AD Jacobians are
 probed at a couple of points (like solver/coloring.py), each row's variable
 support is mapped to sections, and rows spanning more than two adjacent
-sections fall into the border.  All grouping is static host-side NumPy;
-the compiled program sees only fixed gathers.
+sections fall into the border.  All grouping is static host-side NumPy; the
+compiled program sees only fixed gathers.
 
-Failure signaling matches the dense path: a singular/indefinite T makes the
-scan Cholesky produce NaNs which propagate into the direction and trip the
-solver's isfinite retry (chol-as-inertia-oracle).
+Failure signaling matches the dense path: a singular/indefinite T̂ makes the
+scan Cholesky produce NaNs → the solver's isfinite/residual gate trips the
+δ_w retry (chol-as-inertia-oracle).
 """
 
 from typing import NamedTuple
@@ -44,12 +59,14 @@ import jax.scipy.linalg as jsl
 
 
 class StructMeta(NamedTuple):
-    """Static row-grouping metadata (host-built, shapes fixed per problem).
+    """Static row-grouping metadata over the STACKED [eq; ineq] rows
+    (host-built, shapes fixed per problem).
 
-    ``group_rows[s, i]`` is the equality-row index of slot ``i`` of section
+    ``group_rows[s, i]`` is the stacked-row index of slot ``i`` of section
     group ``s`` (0 for padding, masked by ``group_mask``); ``border_rows``
     holds the global rows.  ``n_border`` counts *real* border rows
     (``border_rows`` is padded to at least 1 with ``border_mask`` zeros).
+    ``m_eq``/``m_ineq`` record the split of the stacked row space.
     """
 
     group_rows: np.ndarray   # [S, b] int32
@@ -60,11 +77,12 @@ class StructMeta(NamedTuple):
     n_groups: int
     block: int
     m_eq: int
+    m_ineq: int
 
 
-def build_struct_meta(pattern, var_sec):
-    """Group equality rows by section from a boolean Jacobian ``pattern``
-    [m_E, n] and a per-variable section map ``var_sec`` [n].
+def build_struct_meta(pattern_eq, pattern_ineq, var_sec):
+    """Group stacked constraint rows by section from boolean Jacobian
+    patterns and a per-variable section map ``var_sec`` [n].
 
     A row whose variable support spans sections {a..b} with b − a ≤ 1 joins
     group a; anything wider (stage-mass links, long time-reference chains,
@@ -72,14 +90,15 @@ def build_struct_meta(pattern, var_sec):
     grouping only has to *cover* the true sparsity; unknown rows degrade to
     border (dense) handling, never to wrong structure.
     """
-    pattern = np.asarray(pattern, dtype=bool)
+    pattern = np.vstack([np.asarray(pattern_eq, dtype=bool),
+                         np.asarray(pattern_ineq, dtype=bool)])
     var_sec = np.asarray(var_sec)
-    m_eq, n = pattern.shape
+    m_all, n = pattern.shape
     S = int(var_sec.max()) + 1
 
     groups = [[] for _ in range(S)]
     border = []
-    for r in range(m_eq):
+    for r in range(m_all):
         secs = var_sec[pattern[r]]
         if secs.size == 0:
             border.append(r)
@@ -104,7 +123,8 @@ def build_struct_meta(pattern, var_sec):
     return StructMeta(
         group_rows=group_rows, group_mask=group_mask,
         border_rows=border_rows, border_mask=border_mask,
-        n_border=len(border), n_groups=S, block=b, m_eq=m_eq,
+        n_border=len(border), n_groups=S, block=b, m_eq=pattern_eq.shape[0],
+        m_ineq=pattern_ineq.shape[0],
     )
 
 
@@ -191,46 +211,49 @@ def bordered_solve(tf, rhs_g, rhs_b):
 
 
 # ---------------------------------------------------------------------------
-# the structured condensed-KKT factorization
+# the structured augmented-KKT factorization
 
 
-def factorize(Dd, V, c, JE, delta_c, meta: StructMeta):
-    """Factor the condensed KKT system with H = diag(Dd) + V diag(c) Vᵀ.
+def factorize(Dd, V, c, JE, JI, gdiag, meta: StructMeta):
+    """Factor the augmented KKT system (module docstring) with
+    H₀ = diag(Dd) + V diag(c) Vᵀ and Ĝ = diag(gdiag) over the stacked
+    [J_E; J_I] rows.
 
-    Never materializes H (n²) or S (m_E²): the Woodbury core and the SMW
-    correction core are k×k (QR-factored — fp64 LU does not exist on TPU,
-    QR does), T is factored as bordered block-tridiagonal.  Returns an
-    arrays-only dict (jit/vmap-safe).
+    Never materializes H (n²) or Ŝ (m̂²): the Woodbury core and the SMW
+    correction core are k×k (k = 2·mem, QR-factored), T̂ is factored as
+    bordered block-tridiagonal.  Returns an arrays-only dict
+    (jit/vmap-safe).
     """
     gr = jnp.asarray(meta.group_rows)
     gm = jnp.asarray(meta.group_mask)
     br = jnp.asarray(meta.border_rows)
     bm = jnp.asarray(meta.border_mask)
 
+    J = jnp.concatenate([JE, JI], axis=0)      # stacked rows [m̂, n]
     Dinv = 1.0 / Dd
-    W = Dinv[:, None] * V                      # D⁻¹ Ṽ        [n, k]
+    W = Dinv[:, None] * V                      # D⁻¹ V        [n, k]
     Mcore = jnp.diag(1.0 / c) + V.T @ W        # Woodbury core [k, k]
     qM, rM = jnp.linalg.qr(Mcore)
 
-    # U = J_E D⁻¹ Ṽ  (the dense rank-k coupling; m_E × k)
-    U = JE @ W
+    # U = Ĵ D⁻¹ V  (the dense rank-k coupling; m̂ × k)
+    U = J @ W
 
-    # T's blocks from the grouped rows (padded rows are zeroed and get a
+    # T̂'s blocks from the grouped rows (padded rows are zeroed and get a
     # unit diagonal so the factorization stays SPD and they decouple)
-    JEg = JE[gr] * gm[:, :, None]              # [S, b, n]
-    JEb = JE[br] * bm[:, None]                 # [mb, n]
-    Ag = JEg * Dinv[None, None, :]
-    Td = jnp.einsum("sbn,scn->sbc", Ag, JEg)
-    Tl = jnp.einsum("sbn,scn->sbc", Ag[1:], JEg[:-1])
-    diag_fill = delta_c * gm + (1.0 - gm)      # δ_c on real rows, 1 on pads
+    Jg = J[gr] * gm[:, :, None]                # [S, b, n]
+    Jb = J[br] * bm[:, None]                   # [mb, n]
+    Ag = Jg * Dinv[None, None, :]
+    Td = jnp.einsum("sbn,scn->sbc", Ag, Jg)
+    Tl = jnp.einsum("sbn,scn->sbc", Ag[1:], Jg[:-1])
+    diag_fill = gdiag[gr] * gm + (1.0 - gm)    # Ĝ on real rows, 1 on pads
     Td = Td + jax.vmap(jnp.diag)(diag_fill)
-    Bstrip = jnp.einsum("mn,sbn->smb", JEb * Dinv[None, :], JEg)
-    Cbb = ((JEb * Dinv[None, :]) @ JEb.T
-           + jnp.diag(delta_c * bm + (1.0 - bm)))
+    Bstrip = jnp.einsum("mn,sbn->smb", Jb * Dinv[None, :], Jg)
+    Cbb = ((Jb * Dinv[None, :]) @ Jb.T
+           + jnp.diag(gdiag[br] * bm + (1.0 - bm)))
 
     tf = bordered_factorize(Td, Tl, Bstrip, Cbb)
 
-    # SMW correction core: C_s = M − Uᵀ T⁻¹ U  (k×k, indefinite → QR)
+    # SMW correction core: C_s = M − Uᵀ T̂⁻¹ U  (k×k, indefinite → QR)
     Ug = U[gr] * gm[:, :, None]                # [S, b, k]
     Ub = U[br] * bm[:, None]                   # [mb, k]
     TiU_g, TiU_b = bordered_solve(tf, Ug, Ub)
@@ -239,20 +262,21 @@ def factorize(Dd, V, c, JE, delta_c, meta: StructMeta):
     qC, rC = jnp.linalg.qr(Cs)
 
     return dict(Dinv=Dinv, V=V, c=c, W=W, qM=qM, rM=rM, U=U,
-                TiU_g=TiU_g, TiU_b=TiU_b, qC=qC, rC=rC, JE=JE, Dd=Dd,
-                dc=jnp.asarray(delta_c), **tf)
+                TiU_g=TiU_g, TiU_b=TiU_b, qC=qC, rC=rC, J=J, Dd=Dd,
+                gdiag=gdiag, **tf)
 
 
-def hmatvec(fact, x):
-    """H x = D·x + Ṽ (c̃ ⊙ (Ṽᵀ x))  — no dense H."""
+def h0matvec(fact, x):
+    """H₀ x = D·x + V (c ⊙ (Vᵀ x))  — no dense H."""
     V, c = fact["V"], fact["c"]
     if x.ndim == 1:
         return fact["Dd"] * x + V @ (c * (V.T @ x))
     return fact["Dd"][:, None] * x + V @ (c[:, None] * (V.T @ x))
 
 
-def apply_hinv(fact, x):
-    """H⁻¹ x via Woodbury (QR-factored core)."""
+def apply_h0inv(fact, x):
+    """H₀⁻¹ x via Woodbury (QR-factored core; BFGS columns only, so the
+    correction never dwarfs the base — see the module stability note)."""
     Dinv, V, W, qM, rM = (fact["Dinv"], fact["V"], fact["W"], fact["qM"],
                           fact["rM"])
     t = V.T @ (Dinv * x) if x.ndim == 1 else V.T @ (Dinv[:, None] * x)
@@ -261,7 +285,7 @@ def apply_hinv(fact, x):
 
 
 def _schur_solve(fact, meta: StructMeta, rhs):
-    """S⁻¹ rhs with S = T − U M⁻¹ Uᵀ via SMW over the bordered-T factors."""
+    """Ŝ⁻¹ rhs with Ŝ = T̂ − U M⁻¹ Uᵀ via SMW over the bordered-T̂ factors."""
     gr = jnp.asarray(meta.group_rows)
     gm = jnp.asarray(meta.group_mask)
     br = jnp.asarray(meta.border_rows)
@@ -270,7 +294,7 @@ def _schur_solve(fact, meta: StructMeta, rhs):
     rg = rhs[gr] * gm
     rb = rhs[br] * bm
     t_g, t_b = bordered_solve(fact, rg, rb)
-    # correction: + T⁻¹ U (M − Uᵀ T⁻¹ U)⁻¹ Uᵀ T⁻¹ rhs
+    # correction: + T̂⁻¹ U (M − Uᵀ T̂⁻¹ U)⁻¹ Uᵀ T̂⁻¹ rhs
     Ug = fact["U"][gr] * gm[:, :, None]
     Ub = fact["U"][br] * bm[:, None]
     w = jnp.einsum("sbk,sb->k", Ug, t_g) + Ub.T @ t_b
@@ -278,51 +302,63 @@ def _schur_solve(fact, meta: StructMeta, rhs):
     x_g = t_g + jnp.einsum("sbk,k->sb", fact["TiU_g"], u)
     x_b = t_b + fact["TiU_b"] @ u
 
-    # scatter back to flat row order (pads write to row 0 then are fixed by
-    # the real updates; mask-weighted adds keep pads from corrupting row 0)
-    out = jnp.zeros(meta.m_eq, rhs.dtype)
+    # scatter back to flat stacked-row order (pad slots masked to zero)
+    out = jnp.zeros(meta.m_eq + meta.m_ineq, rhs.dtype)
     out = out.at[gr.ravel()].add((x_g * gm).ravel())
     out = out.at[br].add(x_b * bm)
     return out
 
 
-def solve(fact, meta: StructMeta, r1, r2, n_refine=1):
-    """Solve the condensed KKT system
-        [ H   J_Eᵀ ] [dz ]   [ r1 ]
-        [ J_E  -δ_c] [dyE] = [ r2 ]
-    entirely through the structured factors.  Same refinement policy as
-    linalg.kkt_solve: fp64 sweeps over the full KKT residual, best iterate
-    wins (guards the condensed form's squared conditioning).
-    """
-    JE, dc = fact["JE"], fact["dc"]
+def solve(fact, meta: StructMeta, r1, r2, r3, n_refine=1):
+    """Solve the augmented KKT system (module docstring) for
+    (dz, dy, w).  ``r2`` spans the equality rows, ``r3`` the inequality
+    rows.  Same refinement policy as linalg.kkt_solve: fp64 sweeps over the
+    full residual, best iterate wins."""
+    J, gdiag = fact["J"], fact["gdiag"]
+    r23 = jnp.concatenate([r2, r3])
 
-    def one_solve(b1, b2):
-        h_b1 = apply_hinv(fact, b1)
-        rhs_y = JE @ h_b1 - b2
-        dy = _schur_solve(fact, meta, rhs_y)
-        dz = apply_hinv(fact, b1 - JE.T @ dy)
-        return dz, dy
+    def one_solve(b1, b23):
+        h_b1 = apply_h0inv(fact, b1)
+        rhs_y = J @ h_b1 - b23
+        dyw = _schur_solve(fact, meta, rhs_y)
+        dz = apply_h0inv(fact, b1 - J.T @ dyw)
+        return dz, dyw
 
-    dz, dy = one_solve(r1, r2)
+    dz, dyw = one_solve(r1, r23)
     if n_refine <= 0:
-        return dz, dy
+        return dz, dyw[:meta.m_eq], dyw[meta.m_eq:]
 
-    def resid(dz, dy):
-        return (r1 - hmatvec(fact, dz) - JE.T @ dy,
-                r2 - JE @ dz + dc * dy)
+    def resid(dz, dyw):
+        return (r1 - h0matvec(fact, dz) - J.T @ dyw,
+                r23 - J @ dz + gdiag * dyw)
 
-    best = (dz, dy)
+    best = (dz, dyw)
     best_rn = jnp.inf
     for _ in range(n_refine):
-        rho1, rho2 = resid(dz, dy)
-        rn = jnp.sqrt(rho1 @ rho1 + rho2 @ rho2)
+        rho1, rho23 = resid(dz, dyw)
+        rn = jnp.sqrt(rho1 @ rho1 + rho23 @ rho23)
         better = rn < best_rn
-        best = (jnp.where(better, dz, best[0]), jnp.where(better, dy, best[1]))
+        best = (jnp.where(better, dz, best[0]),
+                jnp.where(better, dyw, best[1]))
         best_rn = jnp.where(better, rn, best_rn)
-        ddz, ddy = one_solve(rho1, rho2)
+        ddz, ddyw = one_solve(rho1, rho23)
         dz = dz + ddz
-        dy = dy + ddy
-    rho1, rho2 = resid(dz, dy)
-    rn = jnp.sqrt(rho1 @ rho1 + rho2 @ rho2)
+        dyw = dyw + ddyw
+    rho1, rho23 = resid(dz, dyw)
+    rn = jnp.sqrt(rho1 @ rho1 + rho23 @ rho23)
     better = rn < best_rn
-    return (jnp.where(better, dz, best[0]), jnp.where(better, dy, best[1]))
+    dz = jnp.where(better, dz, best[0])
+    dyw = jnp.where(better, dyw, best[1])
+    return dz, dyw[:meta.m_eq], dyw[meta.m_eq:]
+
+
+def kkt_residual(fact, meta, dz, dyw, r1, r23):
+    """Max-norm relative residual of an augmented-system solution (the
+    struct path's inertia/breakdown oracle — see ip.direction_struct)."""
+    rho1 = r1 - h0matvec(fact, dz) - fact["J"].T @ dyw
+    rho23 = r23 - fact["J"] @ dz + fact["gdiag"] * dyw
+    return jnp.maximum(
+        jnp.max(jnp.abs(rho1), initial=0.0)
+        / (jnp.max(jnp.abs(r1), initial=0.0) + 1e-12),
+        jnp.max(jnp.abs(rho23), initial=0.0)
+        / (jnp.max(jnp.abs(r23), initial=0.0) + 1e-12))
