@@ -72,6 +72,21 @@ def main(argv=None):
                         help="compress constraint Jacobians by distance-2 "
                              "column coloring (12x fewer AD tangents on the "
                              "example mission)")
+    parser.add_argument("--kkt", default=None,
+                        choices=["chol", "lu", "struct"],
+                        help="KKT factorization: condensed dense Cholesky "
+                             "(default), dense LU, or the structured "
+                             "Woodbury + block-tridiagonal solver")
+    parser.add_argument("--hessian", default=None,
+                        choices=["lbfgs", "exact", "hybrid"],
+                        help="Lagrangian Hessian mode (hybrid = L-BFGS with "
+                             "an exact-Newton endgame)")
+    parser.add_argument("--refine", type=int, default=0, metavar="ROUNDS",
+                        help="h-refinement: after solving, estimate the "
+                             "per-section defect error of the interpolant, "
+                             "double the nodes of sections over --refine-tol "
+                             "and re-solve (up to ROUNDS times)")
+    parser.add_argument("--refine-tol", type=float, default=1e-7)
     parser.add_argument("--save-state", default=None,
                         help="write the final primal-dual state here")
     args = parser.parse_args(argv)
@@ -122,9 +137,13 @@ def main(argv=None):
     opts = IPOptions(tol=tol, max_iter=int(max_iter),
                      mu_init=float(gip_opts.get("mu_init", 1e-3)),
                      lbfgs_memory=int(gip_opts.get("lbfgs_memory", 20)),
-                     hessian=gip_opts.get("hessian", "lbfgs"))
+                     hessian=args.hessian or gip_opts.get("hessian", "lbfgs"),
+                     kkt_method=args.kkt or gip_opts.get("kkt_method",
+                                                         "chol"))
 
-    funcs = problem.solver_funcs(colored=args.colored_jacobian, z0=z0)
+    funcs = problem.solver_funcs(colored=args.colored_jacobian,
+                                 structured=opts.kkt_method == "struct",
+                                 z0=z0)
     if args.colored_jacobian:
         ci = funcs["coloring_info"]
         print(f"colored Jacobians: eq {ci['eq']['n_colors']}/{problem.n_z} "
@@ -144,8 +163,9 @@ def main(argv=None):
                   f"obj={float(problem.objective(st.z)):.6f}",
                   flush=True)
 
-    if runs_on_cpu() or warm is not None:
+    if (runs_on_cpu() or warm is not None) and opts.kkt_method != "struct":
         # host-driven loop: filter memory + SOC + warm start support
+        # (the structured KKT lives in the fused path only)
         st, info = solve(funcs, z0, lb, ub, opts, callback=cb, warm=warm)
     else:
         # accelerator: chunked fused iterations (one dispatch per ~40 iters)
@@ -153,8 +173,40 @@ def main(argv=None):
             print(f"  chunk={k:3d}  it={int(ipst.it):5d}  mu={float(ipst.mu):9.2e}  "
                   f"err={float(ipst.err0):9.3e}", flush=True)
         st, info = solve_device(funcs, z0, lb, ub, opts, chunk=40,
-                                callback=cb_chunk)
+                                callback=cb_chunk, warm=warm)
     info["optTime"] = time.time() - t0
+
+    if args.refine > 0:
+        # h-refinement rounds: estimate → refine → transfer → re-solve
+        # (SURVEY §5 long-context analogue; the reference has no equivalent)
+        from .refine import (section_defect_errors, refine_num_nodes,
+                             interp_solution)
+
+        z_cur = np.asarray(st.z)
+        for rnd in range(args.refine):
+            errors = section_defect_errors(problem, z_cur)
+            print(f"h-refine round {rnd}: max section defect "
+                  f"{errors.max():.3e} (tol {args.refine_tol:g})")
+            new_nodes = refine_num_nodes(problem.ps.num_nodes, errors,
+                                         args.refine_tol)
+            if (new_nodes == np.asarray(problem.ps.num_nodes)).all():
+                print("h-refine: mesh converged")
+                break
+            mission.events.num_nodes = np.append(
+                new_nodes, mission.events.num_nodes[-1])
+            new_problem = Problem(mission, user_equality=eq_user,
+                                  user_inequality=ineq_user)
+            z_cur = interp_solution(problem, z_cur, new_problem)
+            problem = new_problem
+            print(f"h-refine: new mesh {[int(n) for n in new_nodes]} "
+                  f"({problem.n_z} vars)")
+            funcs = problem.solver_funcs(
+                colored=args.colored_jacobian,
+                structured=opts.kkt_method == "struct", z0=z_cur)
+            lb, ub = problem.bounds()
+            st, info = solve_device(funcs, z_cur, lb, ub, opts, chunk=40)
+            z_cur = np.asarray(st.z)
+            info["optTime"] = time.time() - t0
 
     os.makedirs(args.output_dir, exist_ok=True)
     if args.save_state:
