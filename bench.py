@@ -86,7 +86,8 @@ def _opts(cfg, **over):
     from gelato_tpu.solver import IPOptions
 
     base = dict(max_iter=int(cfg["max_iter"]), mu_init=float(cfg["mu_init"]),
-                kkt_method=cfg["kkt_method"], hessian=cfg["hessian"])
+                kkt_method=cfg["kkt_method"], hessian=cfg["hessian"],
+                mu_strategy=cfg.get("mu_strategy", "monotone"))
     base.update(over)
     return IPOptions(**base)
 

@@ -139,7 +139,8 @@ def main(argv=None):
                      lbfgs_memory=int(gip_opts.get("lbfgs_memory", 20)),
                      hessian=args.hessian or gip_opts.get("hessian", "lbfgs"),
                      kkt_method=args.kkt or gip_opts.get("kkt_method",
-                                                         "chol"))
+                                                         "chol"),
+                     mu_strategy=gip_opts.get("mu_strategy", "monotone"))
 
     funcs = problem.solver_funcs(colored=args.colored_jacobian,
                                  structured=opts.kkt_method == "struct",

@@ -47,6 +47,19 @@ class IPOptions(NamedTuple):
     kappa_mu: float = 0.2  # linear barrier reduction factor
     theta_mu: float = 1.5  # superlinear barrier reduction exponent
     kappa_eps: float = 10.0  # barrier subproblem tolerance factor
+    # Barrier schedule.  "monotone" is IPOPT's default Fiacco-McCormick
+    # ladder: mu drops one rung (kappa_mu*mu, mu^theta_mu) only when the
+    # subproblem is solved to kappa_eps*mu.  "adaptive" keeps the same
+    # trigger but, when it fires, jumps straight to the LOQO-style
+    # centrality target
+    #     sigma * avg(compl),  sigma = 0.1*min(0.05*(1-xi)/xi, 2)^3,
+    #     xi = min(compl)/avg(compl)
+    # (capped by the classical rung, floored at mu_min): a well-centered
+    # iterate skips the remaining ladder rungs instead of grinding each
+    # subproblem in turn.  Strictly monotone-decreasing, so the filter
+    # machinery stays valid; with hessian="hybrid" the exact-Newton endgame
+    # then closes the final subproblem in a few iterations.
+    mu_strategy: str = "monotone"
     tau_min: float = 0.99  # fraction-to-boundary floor
     s_max: float = 100.0  # scaling threshold for the optimality error
     eta: float = 1.0e-8  # Armijo constant (IPOPT eta_phi)
@@ -564,6 +577,23 @@ def make_pieces(funcs, lb, ub, opts: IPOptions, struct_meta=None):
         d.update(solve_ok=jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dyE)))
         return d
 
+    def mu_target(st: IPState):
+        """LOQO-style centrality target for mu_strategy="adaptive".
+
+        xi near 1 (perfectly centered) drives sigma — and the target — to
+        ~0: the iterate can afford an aggressive barrier drop.  A badly
+        centered iterate (xi << 1) keeps sigma at its 0.8 cap, i.e. mu
+        barely moves below the average complementarity.
+        """
+        dl = st.z - lb
+        du = ub - st.z
+        compl = jnp.concatenate([st.s * st.lam, dl * st.zL, du * st.zU])
+        avg = jnp.mean(compl)
+        xi = jnp.min(compl) / jnp.maximum(avg, 1.0e-300)
+        sigma = 0.1 * jnp.minimum(
+            0.05 * (1.0 - xi) / jnp.maximum(xi, 1.0e-12), 2.0) ** 3
+        return sigma * avg
+
     def phi_theta(z, s, mu, aux):
         """Barrier objective and constraint violation at a point."""
         bar = (jnp.sum(jnp.log(s)) + jnp.sum(jnp.log(z - lb))
@@ -620,7 +650,7 @@ def make_pieces(funcs, lb, ub, opts: IPOptions, struct_meta=None):
                direction=direction, soc_direction=soc_direction,
                direction_struct=direction_struct,
                soc_direction_struct=soc_direction_struct,
-               phi_theta=phi_theta, trial=trial,
+               phi_theta=phi_theta, trial=trial, mu_target=mu_target,
                apply_step=apply_step, errors=errors, slack_reset=slack_reset)
     pieces = {k: jax.jit(v) for k, v in raw.items()}
     pieces["raw"] = raw
@@ -709,10 +739,14 @@ def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
     st = pieces["slack_reset"](st, cI)
     err_mu, err0 = pieces["errors"](st, g, cE, cI, JE, JI)
 
-    # monotone Fiacco-McCormick barrier update
+    # barrier update: monotone Fiacco-McCormick rung, optionally jumping to
+    # the LOQO centrality target when mu_strategy="adaptive"
     mu = float(st.mu)
     if float(err_mu) <= opts.kappa_eps * mu and mu > opts.mu_min:
-        mu = max(opts.mu_min, min(opts.kappa_mu * mu, mu ** opts.theta_mu))
+        rung = min(opts.kappa_mu * mu, mu ** opts.theta_mu)
+        if opts.mu_strategy == "adaptive":
+            rung = min(rung, float(pieces["mu_target"](st)))
+        mu = max(opts.mu_min, rung)
         if filt is not None:
             filt.reset()  # new barrier subproblem: fresh filter (IPOPT)
     mu_j = jnp.asarray(mu)
@@ -1055,12 +1089,12 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
         st_r = raw["slack_reset"](st, cI)
         err_mu, err0 = raw["errors"](st_r, g, cE, cI, JE, JI)
         mu_drop = (err_mu <= opts.kappa_eps * st_r.mu) & (st_r.mu > opts.mu_min)
-        mu = jnp.where(
-            mu_drop,
-            jnp.maximum(opts.mu_min,
-                        jnp.minimum(opts.kappa_mu * st_r.mu,
-                                    st_r.mu ** opts.theta_mu)),
-            st_r.mu)
+        rung = jnp.minimum(opts.kappa_mu * st_r.mu,
+                           st_r.mu ** opts.theta_mu)
+        if opts.mu_strategy == "adaptive":
+            # static Python branch: the default "monotone" HLO is unchanged
+            rung = jnp.minimum(rung, raw["mu_target"](st_r))
+        mu = jnp.where(mu_drop, jnp.maximum(opts.mu_min, rung), st_r.mu)
         st_r = st_r._replace(mu=mu)
 
         # new barrier subproblem → fresh filter (IPOPT resets it)
