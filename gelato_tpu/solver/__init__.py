@@ -9,6 +9,7 @@ from .ip import (  # noqa: F401
     ip_iterate,
     relaxed_bounds,
     make_fused_step,
+    prebuild_device_loop,
     solve_device,
     FusedState,
 )

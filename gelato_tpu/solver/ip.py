@@ -1271,9 +1271,32 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
     return step, state0
 
 
+def prebuild_device_loop(funcs, lb, ub, opts: IPOptions = IPOptions(),
+                         z0_scale_ref=None, aux_example=(), chunk=40):
+    """Build the jitted chunked iteration loop once for repeated solves.
+
+    Returns ``(run_chunk, state0)`` for :func:`solve_device`'s ``prebuilt``
+    parameter.  The jitted ``run_chunk`` is created a single time, so its
+    (large) compiled executable is traced/loaded once and reused across
+    every subsequent solve — bench warm-up + measured runs, parameter
+    sweeps, h-refinement rounds at unchanged mesh.
+    """
+    step, state0 = make_fused_step(funcs, lb, ub, opts,
+                                   z0_scale_ref=z0_scale_ref,
+                                   aux_example=aux_example)
+
+    @jax.jit
+    def run_chunk(fst, aux):
+        def body(c, _):
+            return step(c, aux), None
+        return jax.lax.scan(body, fst, None, length=chunk)[0]
+
+    return run_chunk, state0
+
+
 def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
                  chunk=40, callback=None, warm=None, aux=(),
-                 deadline_s=None):
+                 deadline_s=None, prebuilt=None):
     """Low-dispatch solve: ``chunk`` fused iterations per device round-trip.
 
     The whole iteration (residuals, Jacobians, L-BFGS Hessian, KKT factor,
@@ -1286,23 +1309,27 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     stop between chunks once this much wall-clock has elapsed and return the
     partial state — callers with an external time budget (bench.py) get a
     reportable result instead of nothing.
+
+    ``prebuilt``: a ``(run_chunk, state0)`` pair from
+    :func:`prebuild_device_loop` — repeated solves then share ONE compiled
+    executable.  Without it every call re-traces, and on the remote-TPU
+    toolchain even a persistent-cache *hit* pays minutes of executable
+    deserialization per trace (the compiled fused step is ~200 MB).
     """
     import time as _time
 
     from .warm_start import apply_warm
 
     t_end = (_time.time() + deadline_s) if deadline_s else None
-    step, state0 = make_fused_step(funcs, lb, ub, opts, z0_scale_ref=z0,
-                                   aux_example=aux)
+    if prebuilt is not None:
+        run_chunk, state0 = prebuilt
+    else:
+        run_chunk, state0 = prebuild_device_loop(funcs, lb, ub, opts,
+                                                 z0_scale_ref=z0,
+                                                 aux_example=aux, chunk=chunk)
     fst = state0(jnp.asarray(z0), aux)
     if warm is not None:
         fst = fst._replace(ip=apply_warm(fst.ip, warm))
-
-    @jax.jit
-    def run_chunk(fst, aux):
-        def body(c, _):
-            return step(c, aux), None
-        return jax.lax.scan(body, fst, None, length=chunk)[0]
 
     deadline_hit = False
     n_chunks = (opts.max_iter + chunk - 1) // chunk
