@@ -67,6 +67,8 @@ def _load_config():
         v = os.environ.get(env)
         if v:
             cfg[key] = v
+    if os.environ.get("GELATO_BENCH_COLORED"):
+        cfg["colored"] = os.environ["GELATO_BENCH_COLORED"] == "1"
     return cfg
 
 
@@ -131,11 +133,34 @@ def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
         # toolchain even on a persistent-cache hit (~200 MB executable)
         prebuilt = prebuild_device_loop(funcs, lb, ub, _opts(cfg),
                                         z0_scale_ref=z0, chunk=chunk)
-        # warm-up chunk pays the (persistent-cached) compile + load
-        _log(f"bench: warm-up chunk ({time.time() - _T_START:.0f}s elapsed)")
-        solve_device(funcs, z0, lb, ub, _opts(cfg, max_iter=chunk),
-                     chunk=chunk, prebuilt=prebuilt)
-        _log(f"bench: measured solve start ({time.time() - _T_START:.0f}s)")
+        # Warm-up until steady state: the remote toolchain pays executable
+        # deserialization/upload on the first — and sometimes second —
+        # dispatch of a program even on a persistent-cache hit (PERF.md
+        # round 3: ~330 s then ~700 s, then 8-12 s per 40-it chunk).  One
+        # warm-up chunk is not enough — the round-3 rehearsal's measured run
+        # still paid a ~660 s dispatch and blew its deadline.  Loop chunks
+        # until one completes fast so the measured run sees only
+        # steady-state dispatches.
+        warm_end = _T_START + float(
+            os.environ.get("GELATO_BENCH_WARM_BUDGET", "1500"))
+        for attempt in range(6):
+            t_w = time.time()
+            solve_device(funcs, z0, lb, ub, _opts(cfg, max_iter=chunk),
+                         chunk=chunk, prebuilt=prebuilt)
+            dt = time.time() - t_w
+            _log(f"bench: warm-up chunk {attempt}: {dt:.1f}s "
+                 f"({time.time() - _T_START:.0f}s elapsed)")
+            if dt < 45.0 or time.time() > warm_end:
+                break
+        # re-derive the measured deadline AFTER warm-up so the headline line
+        # still prints before a driver-side process timeout even when
+        # warm-up ran long (GELATO_BENCH_TOTAL bounds the whole process)
+        if deadline_s is not None:
+            total = float(os.environ.get("GELATO_BENCH_TOTAL", "2100"))
+            deadline_s = min(deadline_s,
+                             max(120.0, total - (time.time() - _T_START)))
+        _log(f"bench: measured solve start ({time.time() - _T_START:.0f}s, "
+             f"deadline {deadline_s})")
         t0 = time.time()
         st, info = solve_device(funcs, z0, lb, ub, _opts(cfg), chunk=chunk,
                                 deadline_s=deadline_s, prebuilt=prebuilt)
@@ -156,13 +181,39 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases):
     zb, cases = wind_dispersion_batch(problem, n_cases)
     opts = _opts(cfg, max_iter=1500)
     chunk = int(cfg["chunk"])
-    # warm-up: one iteration chunk on the first lane block pays the compile
+
+    # Warm-start every lane from the checked-in nominal solution with
+    # IPOPT-style dual push (the reference's dispersion workflow seeds each
+    # case from an "Initial trajectory file", Trajectory_Optimization.py:
+    # 179-187; here the full primal-dual state seeds it).  Falls back to
+    # cold lanes when the state doesn't match.
+    warm = warm_safe = None
+    if os.environ.get("GELATO_BENCH_BATCH_COLD", "") != "1":
+        from gelato_tpu.solver.warm_start import load_state, push_warm
+
+        state_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tests", "data", "example_full_solved.npz")
+        w = load_state(state_path)
+        if w is not None and w["z"].shape == zb.shape[1:]:
+            warm = push_warm(w, mu=1.0e-5)
+            warm_safe = push_warm(w, mu=1.0e-3)
+            zb = np.tile(warm["z"], (zb.shape[0], 1))
+            _log(f"bench batch: warm-starting all lanes from {state_path}")
+    # warm-up: one iteration chunk on the first lane block pays the
+    # compile/executable load; the measured run shares the same jitted loop
     import jax
+    from gelato_tpu.batch import prebuild_batch_loop
+
+    prebuilt = prebuild_batch_loop(problem, opts, chunk=chunk, z0_ref=z0,
+                                   colored=bool(cfg["colored"]))
     warm_cases = jax.tree.map(lambda x: x[:lanes], cases)
     solve_batch_scan(problem, zb[:lanes], opts._replace(max_iter=chunk),
-                     cases=warm_cases, chunk=chunk)
+                     cases=warm_cases, chunk=chunk, warm=warm,
+                     warm_safe=warm_safe, prebuilt=prebuilt)
     t0 = time.time()
     res = solve_batch_chunked(problem, zb, opts, cases=cases, lanes=lanes,
+                              warm=warm, warm_safe=warm_safe,
+                              prebuilt=prebuilt,
                               chunk=chunk)
     wall = time.time() - t0
     drop = sum(
@@ -205,10 +256,16 @@ def main():
                                  deadline_s=deadline)
 
     # max equality violation via a jitted (cache-served) evaluation — an
-    # eager evaluation would pay ~30 ms/op over the remote dispatch tunnel
+    # eager evaluation would pay ~30 ms/op over the remote dispatch tunnel.
+    # Guarded: nothing between the measured solve and the headline line may
+    # lose the artifact.
     import jax.numpy as jnp
-    viol = float(jax.jit(
-        lambda z: jnp.max(jnp.abs(problem.eq_constraints(z))))(st.z))
+    try:
+        viol = float(jax.jit(
+            lambda z: jnp.max(jnp.abs(problem.eq_constraints(z))))(st.z))
+    except Exception as e:  # pragma: no cover - defensive
+        _log(f"bench: violation eval failed: {e}")
+        viol = float("nan")
 
     vs_baseline = float(cfg["recorded_cpu_baseline_s"]) / wall
     # headline line FIRST — nothing after this can lose the artifact

@@ -112,15 +112,112 @@ def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     return states
 
 
+def overlay_warm_batch(problem, states, warm, cases):
+    """Overlay one saved primal-dual state onto every lane of a batch
+    (the batched twin of solver.warm_start.apply_warm), re-deriving the
+    filter's θ caps from each lane's *warm* infeasibility — the cold-state
+    caps are orders of magnitude too loose for a near-feasible start and
+    admit feasibility-destroying excursions."""
+    B = states.ip.z.shape[0]
+
+    def tile(a):
+        return jnp.tile(jnp.asarray(a)[None], (B,) + (1,) * np.ndim(a))
+
+    states = states._replace(ip=states.ip._replace(
+        z=tile(warm["z"]), s=tile(warm["s"]), yE=tile(warm["yE"]),
+        lam=tile(warm["lam"]), zL=tile(warm["zL"]), zU=tile(warm["zU"]),
+        mu=jnp.full((B,), float(warm["mu"]))))
+
+    @jax.jit
+    @jax.vmap
+    def lane_theta(z, s, case):
+        return (jnp.sum(jnp.abs(problem.eq_constraints(z, case)))
+                + jnp.sum(jnp.abs(problem.ineq_constraints(z, case) - s)))
+
+    theta_w = jnp.maximum(1.0, lane_theta(states.ip.z, states.ip.s, cases))
+    return states._replace(theta_max=1.0e4 * theta_w,
+                           theta_min=1.0e-4 * theta_w)
+
+
+def reset_diverged(states, states_ref, err_ref, factor=100.0):
+    """Lane-wise divergence restart (batch-robustness twin of
+    run_batch.sh's continue-on-failure, run_batch.sh:75-79 — but instead of
+    abandoning a failed case, the lane restarts its own μ-ladder).
+
+    A lane counts as diverged when its KKT error is non-finite, or exceeds
+    both ``factor * err_ref`` (``err_ref``: per-lane *initial* error scale)
+    and an absolute floor of 100 — the floor keeps benign transient spikes
+    (SOC/μ-drop excursions in the 1e-2..1e1 range) from triggering resets.
+    Diverged lanes are rolled back to ``states_ref`` (their start state);
+    every other lane passes through untouched.  Globalized IP lanes under
+    dispersed physics are chaotic enough that an occasional lane wedges
+    (round-3 dryrun diagnosis: the identical lane converges or diverges
+    depending on compile-level rounding); a restart from the moderate-μ
+    start state reliably re-converges it.
+
+    Returns ``(states, bad_mask)``.
+    """
+    bad = (~jnp.isfinite(states.ip.err0)) | (
+        (states.ip.err0 > factor * err_ref) & (states.ip.err0 > 100.0))
+
+    def pick(ref, cur):
+        b = bad.reshape(bad.shape + (1,) * (cur.ndim - 1))
+        return jnp.where(b, ref, cur)
+
+    return jax.tree.map(pick, states_ref, states), bad
+
+
+def prebuild_batch_loop(problem: Problem, opts: IPOptions = IPOptions(),
+                        chunk=40, z0_ref=None, colored=False):
+    """Build the jitted chunked batch loop once for repeated lane blocks.
+
+    Returns ``(run_chunk, state0)`` for :func:`solve_batch_scan`'s
+    ``prebuilt`` parameter — all blocks of a large chunked study then share
+    one compiled executable (see PERF.md: a fresh trace costs minutes of
+    executable load over the remote-TPU toolchain even on a cache hit).
+    """
+    step, state0 = make_batch_step(problem, opts, z0_ref=z0_ref,
+                                   colored=colored)
+    vstep = jax.vmap(step)
+
+    @jax.jit
+    def run_chunk(states, cases):
+        def body(c, _):
+            return vstep(c, cases), None
+        return jax.lax.scan(body, states, None, length=chunk)[0]
+
+    return run_chunk, state0
+
+
 def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
-                     cases=None, mesh=None, chunk=40, callback=None):
+                     cases=None, mesh=None, chunk=40, callback=None,
+                     restart_diverged=True, factor=10.0, warm=None,
+                     warm_safe=None, prebuilt=None):
     """Low-dispatch batched solve: ``chunk`` lock-step iterations per device
-    round-trip (the batched twin of ``solve_device``)."""
+    round-trip (the batched twin of ``solve_device``).
+
+    ``restart_diverged``: roll wedged lanes back to their start state
+    between chunks (see :func:`reset_diverged`).  ``warm``: a (pushed)
+    primal-dual state dict overlaid on every lane
+    (:func:`overlay_warm_batch`); ``warm_safe``: a more conservative state
+    (typically the same state pushed at μ=1e-3) used as the
+    divergence-restart target — restarting a deterministic lane onto the
+    state it just diverged from would diverge again."""
     z0_batch = jnp.asarray(z0_batch)
     if cases is None:
         cases = broadcast_cases(problem, z0_batch.shape[0])
-    step, state0 = make_batch_step(problem, opts)
+    # prebuilt: share ONE jitted loop across repeated calls — every extra
+    # trace of the fused step costs minutes of executable load on the
+    # remote-TPU toolchain even when the persistent compile cache hits
+    run_chunk, state0 = prebuilt if prebuilt is not None else \
+        prebuild_batch_loop(problem, opts, chunk=chunk)
     states = jax.vmap(state0)(z0_batch, cases)
+    states_safe = None
+    if warm is not None:
+        if warm_safe is not None:
+            states_safe = overlay_warm_batch(problem, states, warm_safe,
+                                             cases)
+        states = overlay_warm_batch(problem, states, warm, cases)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -130,19 +227,26 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         states = jax.tree.map(shard, states)
+        if states_safe is not None:
+            states_safe = jax.tree.map(shard, states_safe)
         cases = jax.tree.map(shard, cases)
 
-    vstep = jax.vmap(step)
-
-    @jax.jit
-    def run_chunk(states, cases):
-        def body(c, _):
-            return vstep(c, cases), None
-        return jax.lax.scan(body, states, None, length=chunk)[0]
-
     n_chunks = (opts.max_iter + chunk - 1) // chunk
+    states_ref = states_safe if states_safe is not None else states
+    err_ref = None
     for k in range(n_chunks):
         states = run_chunk(states, cases)
+        if restart_diverged:
+            if err_ref is None:
+                # per-lane error scale: the first chunk's end state (by
+                # then every lane has evaluated its true KKT error)
+                err_ref = jnp.maximum(1.0, states.ip.err0)
+            else:
+                states, bad = reset_diverged(states, states_ref, err_ref,
+                                             factor=factor)
+                if bool(bad.any()):
+                    print(f"batch chunk {k}: restarted "
+                          f"{int(bad.sum())} diverged lane(s)", flush=True)
         if callback is not None:
             callback(k, states)
         if bool(jnp.all(states.ip.converged)):
@@ -152,14 +256,17 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
 
 def solve_batch_chunked(problem: Problem, z0_batch,
                         opts: IPOptions = IPOptions(), cases=None, lanes=32,
-                        chunk=40, verbose=True):
-    """Large dispersion batches as sequential on-chip chunks of ``lanes``
-    cases each (all chunks reuse one compiled program since shapes match).
+                        chunk=40, verbose=True, warm=None, warm_safe=None,
+                        z0_ref=None, colored=False, prebuilt=None):
+    """Large dispersion batches as sequential on-chip blocks of ``lanes``
+    cases each (all blocks reuse ONE compiled program since shapes match).
 
     This is how a 256-case study runs on one chip whose HBM bounds the
     simultaneous lane count (PERF.md round-2 analysis); with more chips the
-    same lanes shard over a Mesh instead.  Returns a dict of stacked
-    per-case results (z, converged, iterations, err).
+    same lanes shard over a Mesh instead.  ``warm``/``warm_safe`` overlay a
+    (pushed) nominal solution onto every lane (see
+    :func:`solve_batch_scan`).  Returns a dict of stacked per-case results
+    (z, converged, iterations, err).
     """
     import time
 
@@ -174,13 +281,17 @@ def solve_batch_chunked(problem: Problem, z0_batch,
             lambda x: jnp.concatenate(
                 [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0), cases)
 
+    if prebuilt is None:
+        prebuilt = prebuild_batch_loop(problem, opts, chunk=chunk,
+                                       z0_ref=z0_ref, colored=colored)
     out = {"z": [], "converged": [], "iterations": [], "err": []}
     for a in range(0, B + pad, lanes):
         sl = slice(a, a + lanes)
         sub = jax.tree.map(lambda x: x[sl], cases)
         t0 = time.time()
         states = solve_batch_scan(problem, z0_batch[sl], opts, cases=sub,
-                                  chunk=chunk)
+                                  chunk=chunk, warm=warm,
+                                  warm_safe=warm_safe, prebuilt=prebuilt)
         ip = states.ip
         out["z"].append(np.asarray(ip.z))
         out["converged"].append(np.asarray(ip.converged))

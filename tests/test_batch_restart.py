@@ -1,0 +1,63 @@
+"""Lane divergence-restart (gelato_tpu.batch.reset_diverged).
+
+The batch-robustness twin of the reference's continue-on-failure batch loop
+(/root/reference/run_batch.sh:75-79): instead of abandoning a wedged case,
+its lane is rolled back to the start state between scan chunks to redo its
+own mu-ladder while healthy lanes continue untouched.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gelato_tpu.batch import reset_diverged  # noqa: E402
+from gelato_tpu.solver.ip import FusedState, IPState  # noqa: E402
+
+
+def _states(err, z):
+    B, n = z.shape
+    zeros = jnp.zeros((B,))
+    ip = IPState(
+        z=jnp.asarray(z), s=jnp.ones((B, 3)), yE=jnp.zeros((B, 2)),
+        lam=jnp.ones((B, 3)), zL=jnp.ones((B, n)), zU=jnp.ones((B, n)),
+        mu=jnp.full((B,), 1e-3), delta_w=zeros, nu=zeros,
+        err0=jnp.asarray(err), alpha=jnp.ones((B,)),
+        it=jnp.zeros((B,), jnp.int64), converged=jnp.zeros((B,), bool))
+    mem = 4
+    return FusedState(
+        ip=ip, S=jnp.zeros((B, mem, n)), Y=jnp.zeros((B, mem, n)),
+        count=jnp.zeros((B,), jnp.int64), acc_run=jnp.zeros((B,), jnp.int64),
+        filt_tb=jnp.full((B, 8), jnp.inf), filt_pb=jnp.full((B, 8), jnp.inf),
+        filt_idx=jnp.zeros((B,), jnp.int64),
+        theta_max=jnp.full((B,), 1e4), theta_min=jnp.full((B,), 1e-4))
+
+
+def test_reset_diverged_rolls_back_only_bad_lanes():
+    z_ref = np.zeros((4, 5))
+    z_cur = np.arange(20.0).reshape(4, 5)
+    ref = _states(np.full(4, 1.0), z_ref)
+    cur = _states(np.array([1e-3, 5e3, np.nan, 2.0]), z_cur)
+    err_ref = jnp.ones(4)
+
+    out, bad = reset_diverged(cur, ref, err_ref, factor=100.0)
+    np.testing.assert_array_equal(np.asarray(bad),
+                                  [False, True, True, False])
+    # bad lanes take the reference state wholesale
+    np.testing.assert_array_equal(np.asarray(out.ip.z[1]), z_ref[1])
+    np.testing.assert_array_equal(np.asarray(out.ip.z[2]), z_ref[2])
+    assert float(out.ip.err0[1]) == 1.0
+    # good lanes pass through untouched (including scalar leaves)
+    np.testing.assert_array_equal(np.asarray(out.ip.z[0]), z_cur[0])
+    np.testing.assert_array_equal(np.asarray(out.ip.z[3]), z_cur[3])
+    assert float(out.ip.err0[3]) == 2.0
+
+
+def test_reset_diverged_noop_when_healthy():
+    z = np.random.default_rng(0).normal(size=(3, 4))
+    ref = _states(np.full(3, 1.0), np.zeros((3, 4)))
+    cur = _states(np.array([1e-6, 3.0, 50.0]), z)
+    out, bad = reset_diverged(cur, ref, jnp.ones(3), factor=100.0)
+    assert not bool(np.asarray(bad).any())
+    np.testing.assert_array_equal(np.asarray(out.ip.z), z)
