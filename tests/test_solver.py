@@ -82,6 +82,40 @@ class TestIPSolver:
         assert info2["iterations"] <= 2
         np.testing.assert_allclose(np.asarray(st2.z), [1.5, 0.5], atol=1e-6)
 
+    def test_push_warm_recentering(self, tmp_path):
+        """push_warm re-centers the duals to the working barrier: s floored,
+        lam = mu/s (complementarity exactly mu on every row), bound duals
+        boxed, primal untouched — the hygiene for warm starts onto
+        *perturbed* problem data (IPOPT's warm_start_*push analogue)."""
+        from gelato_tpu.solver.warm_start import (save_state, load_state,
+                                                  push_warm)
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        st, _ = solve(funcs, np.array([0.5, 0.5]), np.zeros(2),
+                      np.full(2, 5.0))
+        path = str(tmp_path / "state.npz")
+        save_state(path, st)
+        warm = load_state(path)
+        mu = 1.0e-4
+        pushed = push_warm(warm, mu=mu)
+        np.testing.assert_array_equal(pushed["z"], warm["z"])
+        assert float(pushed["mu"]) == mu
+        assert np.all(pushed["s"] >= 1.0e-6)
+        np.testing.assert_allclose(pushed["s"] * pushed["lam"], mu,
+                                   rtol=1e-12)
+        for k in ("zL", "zU"):
+            assert np.all(pushed[k] >= 1.0e-8)
+            assert np.all(pushed[k] <= 1.0e8)
+        # a pushed state still re-converges on the same problem
+        st2, info2 = solve(funcs, np.array([0.5, 0.5]), np.zeros(2),
+                           np.full(2, 5.0), warm=pushed)
+        assert info2["converged"]
+        np.testing.assert_allclose(np.asarray(st2.z), [1.5, 0.5], atol=1e-6)
+
 
 class TestFusedStep:
     def test_fused_matches_host_driver(self):
