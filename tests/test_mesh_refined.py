@@ -50,6 +50,31 @@ class TestMeshRefined:
         assert ge["dyn_vel"] == 3 * 264
         assert gi["qalpha"] == 4 * 16 + 1  # ZEROLIFT_START "all" rows
 
+    def test_warm_seed_transfer(self, refined_problem):
+        """The mesh4 driver's seeding path (scripts/run_mesh4.py): the
+        nominal converged solution transferred onto the 4x mesh must be
+        far closer to feasible than the cold initial guess — that is what
+        makes the refined full solve warm-startable."""
+        from gelato_tpu.config import load_mission
+        from gelato_tpu.refine import interp_solution
+
+        warm_path = os.path.join(os.path.dirname(__file__), "data",
+                                 "example_full_solved.npz")
+        if not os.path.exists(warm_path):
+            pytest.skip("nominal converged state not built")
+        p4 = refined_problem
+        nominal = Problem(load_mission(SETTINGS))
+        z_star = np.load(warm_path)["z"]
+        assert z_star.shape == (nominal.n_z,)
+
+        z_seed = interp_solution(nominal, z_star, p4)
+        z_cold = np.asarray(ig.initial_guess(p4))
+        r_seed = np.abs(np.asarray(p4.eq_constraints(jnp.asarray(z_seed))))
+        r_cold = np.abs(np.asarray(p4.eq_constraints(jnp.asarray(z_cold))))
+        assert np.all(np.isfinite(r_seed))
+        assert r_seed.sum() < 0.1 * r_cold.sum(), \
+            (r_seed.sum(), r_cold.sum())
+
     def test_direction_computes(self, refined_problem):
         """One KKT factorization + direction at the refined size."""
         from gelato_tpu.solver import ip
