@@ -139,7 +139,7 @@ def overlay_warm_batch(problem, states, warm, cases):
                            theta_min=1.0e-4 * theta_w)
 
 
-def reset_diverged(states, states_ref, err_ref, factor=100.0):
+def reset_diverged(states, states_ref, err_ref, factor=100.0, err_prev=None):
     """Lane-wise divergence restart (batch-robustness twin of
     run_batch.sh's continue-on-failure, run_batch.sh:75-79 — but instead of
     abandoning a failed case, the lane restarts its own μ-ladder).
@@ -155,10 +155,20 @@ def reset_diverged(states, states_ref, err_ref, factor=100.0):
     depending on compile-level rounding); a restart from the moderate-μ
     start state reliably re-converges it.
 
+    ``err_prev`` (optional): each lane's KKT error at the PREVIOUS chunk
+    boundary.  A lane whose error is bit-identical across a whole chunk and
+    not converged is **wedged** (its line search returns α=0 every
+    iteration — the deterministic stall signature, e.g. a failed δ_w
+    escalation) and is restarted too: it would otherwise burn the remaining
+    budget making zero progress (measured: a struct-KKT dispersion lane
+    pinned at err=0.902 for 300+ iterations).
+
     Returns ``(states, bad_mask)``.
     """
     bad = (~jnp.isfinite(states.ip.err0)) | (
         (states.ip.err0 > factor * err_ref) & (states.ip.err0 > 100.0))
+    if err_prev is not None:
+        bad = bad | ((states.ip.err0 == err_prev) & ~states.ip.converged)
 
     def pick(ref, cur):
         b = bad.reshape(bad.shape + (1,) * (cur.ndim - 1))
@@ -234,6 +244,7 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     n_chunks = (opts.max_iter + chunk - 1) // chunk
     states_ref = states_safe if states_safe is not None else states
     err_ref = None
+    err_prev = None
     for k in range(n_chunks):
         states = run_chunk(states, cases)
         if restart_diverged:
@@ -243,10 +254,13 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                 err_ref = jnp.maximum(1.0, states.ip.err0)
             else:
                 states, bad = reset_diverged(states, states_ref, err_ref,
-                                             factor=factor)
+                                             factor=factor,
+                                             err_prev=err_prev)
                 if bool(bad.any()):
                     print(f"batch chunk {k}: restarted "
-                          f"{int(bad.sum())} diverged lane(s)", flush=True)
+                          f"{int(bad.sum())} diverged/wedged lane(s)",
+                          flush=True)
+            err_prev = states.ip.err0
         if callback is not None:
             callback(k, states)
         if bool(jnp.all(states.ip.converged)):

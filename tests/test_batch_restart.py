@@ -54,6 +54,26 @@ def test_reset_diverged_rolls_back_only_bad_lanes():
     assert float(out.ip.err0[3]) == 2.0
 
 
+def test_reset_diverged_catches_wedged_lane():
+    """A lane whose KKT error is bit-identical across a chunk and not
+    converged is wedged (alpha=0 stall) and must restart; a converged lane
+    with an unchanged error must NOT."""
+    z_ref = np.zeros((3, 5))
+    z_cur = np.arange(15.0).reshape(3, 5)
+    ref = _states(np.full(3, 1.0), z_ref)
+    cur = _states(np.array([0.902, 0.5, 1e-7]), z_cur)
+    cur = cur._replace(ip=cur.ip._replace(
+        converged=jnp.array([False, False, True])))
+    err_prev = jnp.array([0.902, 0.7, 1e-7])  # lane 0 unchanged, lane 1 fell
+
+    out, bad = reset_diverged(cur, ref, jnp.ones(3), factor=100.0,
+                              err_prev=err_prev)
+    np.testing.assert_array_equal(np.asarray(bad), [True, False, False])
+    np.testing.assert_array_equal(np.asarray(out.ip.z[0]), z_ref[0])
+    np.testing.assert_array_equal(np.asarray(out.ip.z[1]), z_cur[1])
+    np.testing.assert_array_equal(np.asarray(out.ip.z[2]), z_cur[2])
+
+
 def test_reset_diverged_noop_when_healthy():
     z = np.random.default_rng(0).normal(size=(3, 4))
     ref = _states(np.full(3, 1.0), np.zeros((3, 4)))
