@@ -80,3 +80,63 @@ def lgr_diff_matrix(n, reverse=True):
         x_all = np.concatenate((tau, [1.0]))
         eval_idx = np.arange(n)
     return differentiation_matrix(x_all, eval_idx)
+
+
+# --- LGL / LG basis variants -------------------------------------------
+#
+# The reference also ships Legendre-Gauss-Lobatto and Legendre-Gauss
+# machinery (lib/PSfunctions.py:91-146); its runtime uses only the flipped
+# LGR above, but the variants are part of the component surface and useful
+# for method studies (LGL includes both endpoints; LG neither).
+
+
+def lgl_nodes(n):
+    """Legendre-Gauss-Lobatto points: ±1 plus the roots of P'_{n-1}.
+
+    P'_{n-1} is proportional to the degree-(n-2) Jacobi(1,1) polynomial,
+    so its roots come straight from the Golub-Welsch solver.
+    """
+    if n < 2:
+        raise ValueError("LGL requires n >= 2")
+    if n == 2:
+        return np.array([-1.0, 1.0])
+    interior, _ = special.roots_jacobi(n - 2, 1.0, 1.0)
+    return np.concatenate(([-1.0], interior, [1.0]))
+
+
+def lgl_weights(n):
+    """LGL quadrature weights w_i = 2 / (n(n-1) P_{n-1}(x_i)²), Σw = 2."""
+    x = lgl_nodes(n)
+    Pn1 = special.eval_legendre(n - 1, x)
+    return 2.0 / (n * (n - 1) * Pn1 * Pn1)
+
+
+def lgl_diff_matrix(n):
+    """LGL differentiation matrix, shape (n, n): all nodes collocated."""
+    x = lgl_nodes(n)
+    return differentiation_matrix(x, np.arange(n))
+
+
+def lg_nodes(n):
+    """Legendre-Gauss points: the n roots of P_n (both endpoints excluded)."""
+    if n < 1:
+        raise ValueError("LG requires n >= 1")
+    nodes, _ = special.roots_legendre(n)
+    return nodes
+
+
+def lg_weights(n):
+    """Gauss-Legendre quadrature weights (exact through degree 2n−1)."""
+    _, w = special.roots_legendre(n)
+    return w
+
+
+def lg_diff_matrix(n):
+    """LG differentiation matrix, shape (n, n+1).
+
+    As with LGR, pseudospectral LG transcription carries the non-collocated
+    initial point −1 in the state support; rows evaluate the derivative at
+    the n interior Gauss nodes.
+    """
+    x_all = np.concatenate(([-1.0], lg_nodes(n)))
+    return differentiation_matrix(x_all, np.arange(1, n + 1))

@@ -104,3 +104,72 @@ class TestSectionStack:
             expect = lgr_nodes(n) * (tf - to) / 2 + (tf + to) / 2
             np.testing.assert_allclose(t_x[i, 1 : n + 1], expect)
             assert t_x[i, 0] == to
+
+
+class TestLGLAndLGVariants:
+    """LGL/LG basis machinery (reference lib/PSfunctions.py:91-146 — dead at
+    its runtime, rebuilt here for inventory parity and method studies)."""
+
+    def test_lgl_nodes_and_weights(self):
+        from gelato_tpu.transcription import lgl_nodes, lgl_weights
+
+        # classic n=3 closed-form check: nodes ±1, 0; weights 1/3, 4/3, 1/3
+        np.testing.assert_allclose(lgl_nodes(3), [-1.0, 0.0, 1.0], atol=1e-14)
+        np.testing.assert_allclose(lgl_weights(3), [1 / 3, 4 / 3, 1 / 3],
+                                   rtol=1e-13)
+        for n in (2, 4, 7, 12):
+            x, w = lgl_nodes(n), lgl_weights(n)
+            assert x.shape == w.shape == (n,)
+            assert x[0] == -1.0 and x[-1] == 1.0
+            assert np.all(np.diff(x) > 0)
+            np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-13)
+            # LGL quadrature exact through degree 2n-3
+            for deg in range(2 * n - 2):
+                exact = (1.0 - (-1.0) ** (deg + 1)) / (deg + 1)
+                np.testing.assert_allclose((w * x**deg).sum(), exact,
+                                           atol=1e-12)
+
+    def test_lg_nodes_and_weights(self):
+        from gelato_tpu.transcription import lg_nodes, lg_weights
+
+        for n in (1, 3, 6, 10):
+            x, w = lg_nodes(n), lg_weights(n)
+            assert x.shape == w.shape == (n,)
+            assert np.all(np.abs(x) < 1.0)  # both endpoints excluded
+            # roots of P_n
+            np.testing.assert_allclose(special.eval_legendre(n, x), 0.0,
+                                       atol=1e-12)
+            # Gauss quadrature exact through degree 2n-1
+            for deg in range(2 * n):
+                exact = (1.0 - (-1.0) ** (deg + 1)) / (deg + 1)
+                np.testing.assert_allclose((w * x**deg).sum(), exact,
+                                           atol=1e-12)
+
+    def test_lgl_diff_matrix_polynomial_exactness(self):
+        from gelato_tpu.transcription import lgl_nodes, lgl_diff_matrix
+
+        for n in (3, 5, 9):
+            x = lgl_nodes(n)
+            D = lgl_diff_matrix(n)
+            assert D.shape == (n, n)
+            np.testing.assert_allclose(D.sum(axis=1), 0.0, atol=1e-11)
+            for deg in range(n):  # exact for polynomials of degree < n
+                np.testing.assert_allclose(D @ x**deg,
+                                           deg * x ** max(deg - 1, 0)
+                                           if deg else np.zeros(n),
+                                           atol=1e-9)
+
+    def test_lg_diff_matrix_polynomial_exactness(self):
+        from gelato_tpu.transcription import lg_nodes, lg_diff_matrix
+
+        for n in (2, 4, 8):
+            x = lg_nodes(n)
+            D = lg_diff_matrix(n)
+            assert D.shape == (n, n + 1)
+            x_all = np.concatenate(([-1.0], x))
+            np.testing.assert_allclose(D.sum(axis=1), 0.0, atol=1e-11)
+            for deg in range(n + 1):  # support has n+1 points
+                np.testing.assert_allclose(
+                    D @ x_all**deg,
+                    deg * x ** max(deg - 1, 0) if deg else np.zeros(n),
+                    atol=1e-9)
