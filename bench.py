@@ -97,7 +97,8 @@ def _opts(cfg, **over):
 
     base = dict(max_iter=int(cfg["max_iter"]), mu_init=float(cfg["mu_init"]),
                 kkt_method=cfg["kkt_method"], hessian=cfg["hessian"],
-                mu_strategy=cfg.get("mu_strategy", "monotone"))
+                mu_strategy=cfg.get("mu_strategy", "monotone"),
+                mu_force_after=int(cfg.get("mu_force_after", 0)))
     base.update(over)
     return IPOptions(**base)
 

@@ -140,7 +140,8 @@ def main(argv=None):
                      hessian=args.hessian or gip_opts.get("hessian", "lbfgs"),
                      kkt_method=args.kkt or gip_opts.get("kkt_method",
                                                          "chol"),
-                     mu_strategy=gip_opts.get("mu_strategy", "monotone"))
+                     mu_strategy=gip_opts.get("mu_strategy", "monotone"),
+                     mu_force_after=int(gip_opts.get("mu_force_after", 0)))
 
     funcs = problem.solver_funcs(colored=args.colored_jacobian,
                                  structured=opts.kkt_method == "struct",

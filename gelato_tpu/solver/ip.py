@@ -60,6 +60,16 @@ class IPOptions(NamedTuple):
     # machinery stays valid; with hessian="hybrid" the exact-Newton endgame
     # then closes the final subproblem in a few iterations.
     mu_strategy: str = "monotone"
+    # Stall watchdog (host loop; 0 = off).  The L-BFGS path can grind
+    # hundreds of iterations at one barrier rung because the subproblem
+    # trigger err_mu <= kappa_eps*mu is hard to hit with a quasi-Newton
+    # direction at small mu (measured: ~400 iterations at mu=1.8e-7 on the
+    # example, PERF.md "fragility notes").  When mu hasn't moved for this
+    # many iterations AND the iterate is already primal-feasible to the
+    # overall tolerance (theta <= tol — we are grinding complementarity,
+    # not feasibility), force one rung drop anyway.  Monotone-decreasing,
+    # so the filter logic stays valid.
+    mu_force_after: int = 0
     tau_min: float = 0.99  # fraction-to-boundary floor
     s_max: float = 100.0  # scaling threshold for the optimality error
     eta: float = 1.0e-8  # Armijo constant (IPOPT eta_phi)
@@ -733,16 +743,19 @@ def _filter_linesearch(pieces, st, d, mu, cE, phi0, theta0, filt, opts,
 
 
 def ip_iterate(pieces, st: IPState, opts: IPOptions, filt: Filter = None,
-               lbfgs: LBFGSHessian = None, aux=()):
+               lbfgs: LBFGSHessian = None, aux=(), force_mu_drop=False):
     """One IP iteration, orchestrated on host (all heavy math on device)."""
     f, g, cE, cI, JE, JI = pieces["eval_point"](st.z, aux)
     st = pieces["slack_reset"](st, cI)
     err_mu, err0 = pieces["errors"](st, g, cE, cI, JE, JI)
 
     # barrier update: monotone Fiacco-McCormick rung, optionally jumping to
-    # the LOQO centrality target when mu_strategy="adaptive"
+    # the LOQO centrality target when mu_strategy="adaptive"; the stall
+    # watchdog (mu_force_after) can force a rung when the subproblem
+    # trigger refuses to fire at small mu
     mu = float(st.mu)
-    if float(err_mu) <= opts.kappa_eps * mu and mu > opts.mu_min:
+    if (float(err_mu) <= opts.kappa_eps * mu or force_mu_drop) \
+            and mu > opts.mu_min:
         rung = min(opts.kappa_mu * mu, mu ** opts.theta_mu)
         if opts.mu_strategy == "adaptive":
             rung = min(rung, float(pieces["mu_target"](st)))
@@ -819,15 +832,29 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     exact_cooldown = 0  # iterations to stay on L-BFGS after a rejected exact step
     acceptable_run = 0
     acceptable_stop = False
+    mu_stall = 0  # iterations since the barrier last moved (watchdog)
     for k in range(opts.max_iter):
         z_prev = st.z
+        mu_prev = float(st.mu)
         use_exact = opts.hessian == "exact" or (
             opts.hessian == "hybrid"
             and float(st.mu) <= opts.hybrid_mu_switch
             and float(st.err0) <= opts.hybrid_err_switch
             and exact_cooldown == 0)
+        force_mu = False
+        if opts.mu_force_after > 0 and mu_stall >= opts.mu_force_after:
+            # only force once primal-feasible to tolerance AND the scaled
+            # KKT error is O(1)-small: the plateau we are breaking is a
+            # complementarity grind, not infeasibility and not a diverging
+            # subproblem (the demo mission wedged at err≈1e4 when rungs
+            # were forced under a theta-only gate — verify drive r3)
+            _, theta_now = pieces["phi_theta"](st.z, st.s, st.mu, aux)
+            force_mu = (float(theta_now) <= opts.tol
+                        and float(st.err0) <= 1.0)
         st = ip_iterate(pieces, st, opts, filt,
-                        None if use_exact else lbfgs, aux)
+                        None if use_exact else lbfgs, aux,
+                        force_mu_drop=force_mu)
+        mu_stall = 0 if float(st.mu) != mu_prev else mu_stall + 1
         if use_exact and float(st.alpha) == 0.0:
             exact_cooldown = 10
         elif exact_cooldown > 0:
@@ -1333,6 +1360,20 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
 
     deadline_hit = False
     n_chunks = (opts.max_iter + chunk - 1) // chunk
+    # mu-stall watchdog at chunk granularity (opts.mu_force_after, in
+    # iterations).  The compiled step can grind hundreds of iterations at
+    # one barrier rung (err_mu <= kappa_eps*mu is hard to hit with a
+    # quasi-Newton direction at small mu); when mu hasn't moved across
+    # enough whole chunks, force one monotone rung drop by editing the
+    # carried state HOST-side between dispatches — the fused-step HLO (and
+    # its warm compile cache entry) is untouched.  Unlike the host loop's
+    # watchdog this cannot gate on theta<=tol (theta isn't carried in the
+    # state and evaluating it would need a separately compiled program), so
+    # it relies on the stall length alone; the forced rung is the same
+    # monotone-decreasing formula the device uses, so the filter reset
+    # below mirrors exactly what the on-device drop does.
+    mu_ref = float(fst.ip.mu)
+    stall_its = 0
     for k in range(n_chunks):
         fst = run_chunk(fst, aux)
         if callback is not None:
@@ -1342,6 +1383,27 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
         if t_end is not None and _time.time() > t_end:
             deadline_hit = True
             break
+        if opts.mu_force_after > 0:
+            mu_now = float(fst.ip.mu)
+            stall_its = stall_its + chunk if mu_now == mu_ref else 0
+            mu_ref = mu_now
+            # err0 gate as in the host loop: only break a *grinding*
+            # subproblem (scaled KKT error already O(1)-small), never a
+            # diverging one — forcing rungs at err≈1e4 wedged the demo
+            # mission (alpha=0 at mu_min, verify drive r3)
+            if (stall_its >= opts.mu_force_after and mu_now > opts.mu_min
+                    and float(fst.ip.err0) <= 1.0):
+                rung = max(opts.mu_min,
+                           min(opts.kappa_mu * mu_now,
+                               mu_now ** opts.theta_mu))
+                fst = fst._replace(
+                    ip=fst.ip._replace(
+                        mu=jnp.asarray(rung, fst.ip.mu.dtype)),
+                    filt_tb=jnp.full_like(fst.filt_tb, jnp.inf),
+                    filt_pb=jnp.full_like(fst.filt_pb, jnp.inf),
+                    filt_idx=jnp.zeros_like(fst.filt_idx))
+                mu_ref = rung
+                stall_its = 0
     st = fst.ip
     final_err = float(st.err0)
     if bool(st.converged) and final_err <= opts.tol:

@@ -151,3 +151,135 @@ class TestFusedStep:
         assert bool(jnp.all(states.ip.converged))
         np.testing.assert_allclose(
             np.asarray(states.ip.z), np.tile([1.5, 0.5], (4, 1)), atol=1e-6)
+
+
+class TestMuWatchdog:
+    def test_forced_drop_breaks_a_stalled_rung(self):
+        """mu_force_after forces a barrier rung once primal-feasible.
+
+        Directly exercises ip_iterate's force_mu_drop on a state whose
+        subproblem error is far above kappa_eps*mu (the trigger that
+        otherwise gates every rung): forced, mu must drop one rung;
+        unforced, it must stay.
+        """
+        from gelato_tpu.solver.ip import (ip_iterate, init_state,
+                                          make_pieces, relaxed_bounds,
+                                          Filter, LBFGSHessian)
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-3)
+        lbr, ubr = relaxed_bounds(lb, ub, opts)
+        pieces = make_pieces(funcs, lbr, ubr, opts)
+        # start far from the optimum so the subproblem error is large and
+        # the regular trigger err_mu <= kappa_eps*mu cannot fire
+        st = init_state(funcs, np.array([4.5, 0.25]), lbr, ubr, opts)
+        filt = Filter(1.0)
+        lbfgs = LBFGSHessian(2, 5)
+
+        mu0 = float(st.mu)
+        st_unforced = ip_iterate(pieces, st, opts, filt, lbfgs)
+        st_forced = ip_iterate(pieces, st, opts, Filter(1.0),
+                               LBFGSHessian(2, 5), force_mu_drop=True)
+        assert float(st_unforced.mu) == mu0
+        assert float(st_forced.mu) < mu0
+
+    def test_watchdog_solve_matches_baseline(self):
+        """With the watchdog on, the QP still converges to the same point."""
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        z, info = _run(funcs, [0.5, 0.5], [0, 0], [5, 5], mu_force_after=5)
+        assert info["converged"]
+        np.testing.assert_allclose(z, [1.5, 0.5], atol=1e-6)
+
+    def test_device_loop_watchdog_forces_rungs(self):
+        """solve_device's chunk-boundary watchdog edits the carried state.
+
+        A fake prebuilt loop whose run_chunk is the identity simulates a
+        permanently stalled solve: mu never moves on device, so the host
+        watchdog alone must walk it down the monotone ladder, resetting the
+        filter each time, without ever touching the compiled step.
+        """
+        from gelato_tpu.solver.ip import (make_fused_step, solve_device,
+                                          relaxed_bounds)
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, mu_force_after=10, max_iter=30)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        seen = []
+
+        def frozen_chunk(fst, aux):
+            seen.append(float(fst.ip.mu))
+            # stalled but *grinding*: scaled KKT error already small, so
+            # the watchdog's err0<=1 safety gate lets the force through
+            return fst._replace(ip=fst.ip._replace(
+                err0=jnp.asarray(1e-3, fst.ip.err0.dtype)))
+
+        st, info = solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                                chunk=10, prebuilt=(frozen_chunk, state0))
+        # 3 chunks of 10 its; watchdog fires after each stalled chunk:
+        # chunk0 sees mu_init, chunks 1-2 see successively forced rungs
+        assert len(seen) == 3
+        assert seen[0] == pytest.approx(1e-2)
+        assert seen[1] < seen[0] and seen[2] < seen[1]
+        rung0 = max(opts.mu_min, min(opts.kappa_mu * 1e-2,
+                                     1e-2 ** opts.theta_mu))
+        assert seen[1] == pytest.approx(rung0)
+
+    def test_device_loop_watchdog_blocked_while_diverging(self):
+        """The err0<=1 gate: a stalled-but-diverging state is left alone
+        (forcing rungs under divergence wedged the demo mission)."""
+        from gelato_tpu.solver.ip import make_fused_step, solve_device
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, mu_force_after=10, max_iter=30)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        seen = []
+
+        def diverging_chunk(fst, aux):
+            seen.append(float(fst.ip.mu))
+            return fst._replace(ip=fst.ip._replace(
+                err0=jnp.asarray(1e4, fst.ip.err0.dtype)))
+
+        solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                     chunk=10, prebuilt=(diverging_chunk, state0))
+        assert seen == [pytest.approx(1e-2)] * 3
+
+    def test_device_loop_watchdog_off_by_default(self):
+        """mu_force_after=0 leaves a stalled state strictly alone."""
+        from gelato_tpu.solver.ip import make_fused_step, solve_device
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, max_iter=30)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        seen = []
+
+        def frozen_chunk(fst, aux):
+            seen.append(float(fst.ip.mu))
+            return fst
+
+        solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                     chunk=10, prebuilt=(frozen_chunk, state0))
+        assert seen == [pytest.approx(1e-2)] * 3
