@@ -177,6 +177,36 @@ def reset_diverged(states, states_ref, err_ref, factor=100.0, err_prev=None):
     return jax.tree.map(pick, states_ref, states), bad
 
 
+def force_stalled_mu(states, stall_its, opts):
+    """Per-lane μ-stall watchdog (batched twin of ``solve_device``'s
+    chunk-boundary watchdog, same gates).
+
+    ``stall_its``: (B,) iterations each lane's barrier μ has been unchanged.
+    Lanes stalled ≥ ``opts.mu_force_after`` iterations that are unconverged,
+    *grinding* (scaled KKT error ≤ 1 — never force a diverging subproblem;
+    see ip.py's watchdog notes) and above μ_min get one monotone rung drop
+    plus a filter reset — exactly what the on-device drop does, applied
+    host-side between dispatches so the compiled batch step's HLO (and its
+    warm cache entry) is untouched.
+
+    Returns ``(states, forced_mask)``.
+    """
+    mu = states.ip.mu
+    force = ((stall_its >= opts.mu_force_after)
+             & ~states.ip.converged
+             & (states.ip.err0 <= 1.0)
+             & (mu > opts.mu_min))
+    rung = jnp.maximum(opts.mu_min,
+                       jnp.minimum(opts.kappa_mu * mu, mu ** opts.theta_mu))
+    fb = force[:, None]
+    states = states._replace(
+        ip=states.ip._replace(mu=jnp.where(force, rung, mu)),
+        filt_tb=jnp.where(fb, jnp.inf, states.filt_tb),
+        filt_pb=jnp.where(fb, jnp.inf, states.filt_pb),
+        filt_idx=jnp.where(force, 0, states.filt_idx))
+    return states, force
+
+
 def prebuild_batch_loop(problem: Problem, opts: IPOptions = IPOptions(),
                         chunk=40, z0_ref=None, colored=False):
     """Build the jitted chunked batch loop once for repeated lane blocks.
@@ -245,6 +275,8 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     states_ref = states_safe if states_safe is not None else states
     err_ref = None
     err_prev = None
+    mu_prev = None
+    stall_b = None
     for k in range(n_chunks):
         states = run_chunk(states, cases)
         if restart_diverged:
@@ -261,6 +293,18 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                           f"{int(bad.sum())} diverged/wedged lane(s)",
                           flush=True)
             err_prev = states.ip.err0
+        if opts.mu_force_after > 0:
+            # per-lane μ-stall watchdog (see force_stalled_mu); a restarted
+            # lane's μ changes, so its stall counter resets naturally
+            mu_now = states.ip.mu
+            stall_b = (jnp.zeros(mu_now.shape, jnp.int32) if mu_prev is None
+                       else jnp.where(mu_now == mu_prev, stall_b + chunk, 0))
+            states, forced = force_stalled_mu(states, stall_b, opts)
+            if bool(forced.any()):
+                print(f"batch chunk {k}: forced a mu rung on "
+                      f"{int(forced.sum())} stalled lane(s)", flush=True)
+                stall_b = jnp.where(forced, 0, stall_b)
+            mu_prev = states.ip.mu
         if callback is not None:
             callback(k, states)
         if bool(jnp.all(states.ip.converged)):

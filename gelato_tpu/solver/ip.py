@@ -66,9 +66,11 @@ class IPOptions(NamedTuple):
     # direction at small mu (measured: ~400 iterations at mu=1.8e-7 on the
     # example, PERF.md "fragility notes").  When mu hasn't moved for this
     # many iterations AND the iterate is already primal-feasible to the
-    # overall tolerance (theta <= tol — we are grinding complementarity,
-    # not feasibility), force one rung drop anyway.  Monotone-decreasing,
-    # so the filter logic stays valid.
+    # overall tolerance (theta <= tol) AND the scaled KKT error is
+    # O(1)-small (err0 <= 1 — grinding complementarity, not diverging),
+    # force one rung drop anyway.  Monotone-decreasing, so the filter
+    # logic stays valid.  solve_device applies the same watchdog at chunk
+    # boundaries (err0 gate only) without touching the compiled step.
     mu_force_after: int = 0
     tau_min: float = 0.99  # fraction-to-boundary floor
     s_max: float = 100.0  # scaling threshold for the optimality error

@@ -81,3 +81,49 @@ def test_reset_diverged_noop_when_healthy():
     out, bad = reset_diverged(cur, ref, jnp.ones(3), factor=100.0)
     assert not bool(np.asarray(bad).any())
     np.testing.assert_array_equal(np.asarray(out.ip.z), z)
+
+
+def test_force_stalled_mu_per_lane_gates():
+    """Per-lane μ watchdog: only a stalled + unconverged + grinding lane
+    (err0 ≤ 1) above μ_min gets the forced rung + filter reset."""
+    from gelato_tpu.batch import force_stalled_mu
+    from gelato_tpu.solver import IPOptions
+
+    opts = IPOptions(mu_force_after=50)
+    # lanes: 0 stalled+grinding → force; 1 not stalled long enough;
+    # 2 stalled but diverging (err 1e4) → blocked; 3 stalled but converged
+    st = _states(np.array([1e-3, 1e-3, 1e4, 1e-7]), np.zeros((4, 5)))
+    st = st._replace(
+        ip=st.ip._replace(converged=jnp.array([False, False, False, True])),
+        filt_idx=jnp.array([3, 3, 3, 3], jnp.int64),
+        filt_tb=jnp.full((4, 8), 0.5))
+    stall = jnp.array([80, 40, 80, 80], jnp.int32)
+
+    out, forced = force_stalled_mu(st, stall, opts)
+    np.testing.assert_array_equal(np.asarray(forced),
+                                  [True, False, False, False])
+    rung = max(opts.mu_min, min(opts.kappa_mu * 1e-3, 1e-3 ** opts.theta_mu))
+    assert float(out.ip.mu[0]) == pytest.approx(rung)
+    np.testing.assert_array_equal(np.asarray(out.ip.mu[1:]),
+                                  np.full(3, 1e-3))
+    # forced lane's filter is reset, the others' untouched
+    assert np.isinf(np.asarray(out.filt_tb[0])).all()
+    assert int(out.filt_idx[0]) == 0
+    np.testing.assert_array_equal(np.asarray(out.filt_tb[1]),
+                                  np.full(8, 0.5))
+    assert int(out.filt_idx[1]) == 3
+
+
+def test_force_stalled_mu_respects_mu_min():
+    from gelato_tpu.batch import force_stalled_mu
+    from gelato_tpu.solver import IPOptions
+
+    opts = IPOptions(mu_force_after=50)
+    st = _states(np.array([1e-3, 1e-3]), np.zeros((2, 5)))
+    st = st._replace(ip=st.ip._replace(
+        mu=jnp.array([opts.mu_min, 1e-3]),
+        converged=jnp.array([False, False])))
+    out, forced = force_stalled_mu(st, jnp.array([100, 100], jnp.int32),
+                                   opts)
+    np.testing.assert_array_equal(np.asarray(forced), [False, True])
+    assert float(out.ip.mu[0]) == opts.mu_min
