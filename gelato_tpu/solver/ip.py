@@ -72,6 +72,20 @@ class IPOptions(NamedTuple):
     # logic stays valid.  solve_device applies the same watchdog at chunk
     # boundaries (err0 gate only) without touching the compiled step.
     mu_force_after: int = 0
+    # Wedge recovery (host loop + solve_device chunk boundaries; 0 = off).
+    # A too-ambitious barrier schedule (e.g. aggressive mu_force_after on a
+    # hard mission) can leave the iterate so far off the central path that
+    # the filter rejects every trial step: alpha stays 0 and the loop spins
+    # to max_iter with no progress (observed: demo mission at mu=1e-9,
+    # err0 3.4e6, 1400+ dead iterations).  When no step has been accepted
+    # for this many consecutive iterations — or the KKT error explodes to
+    # 1e4x the best seen — restore the best iterate recorded so far, raise
+    # its barrier two rungs (mu*100, capped at mu_init), and reset the
+    # filter + L-BFGS memory: the analogue of batch.reset_diverged for a
+    # single solve, and of IPOPT falling back to restoration.  Bounded by
+    # wedge_max_recoveries, after which the best iterate is returned.
+    wedge_recover_after: int = 15
+    wedge_max_recoveries: int = 3
     tau_min: float = 0.99  # fraction-to-boundary floor
     s_max: float = 100.0  # scaling threshold for the optimality error
     eta: float = 1.0e-8  # Armijo constant (IPOPT eta_phi)
@@ -835,6 +849,10 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     acceptable_run = 0
     acceptable_stop = False
     mu_stall = 0  # iterations since the barrier last moved (watchdog)
+    best = None  # (err0, state) lowest-error iterate, wedge-recovery target
+    wedged_its = 0  # consecutive iterations with no accepted step
+    recoveries = 0
+    mu_force_floor = opts.mu_min  # raised by wedge recovery
     for k in range(opts.max_iter):
         z_prev = st.z
         mu_prev = float(st.mu)
@@ -852,7 +870,8 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
             # were forced under a theta-only gate — verify drive r3)
             _, theta_now = pieces["phi_theta"](st.z, st.s, st.mu, aux)
             force_mu = (float(theta_now) <= opts.tol
-                        and float(st.err0) <= 1.0)
+                        and float(st.err0) <= 1.0
+                        and float(st.mu) > mu_force_floor)
         st = ip_iterate(pieces, st, opts, filt,
                         None if use_exact else lbfgs, aux,
                         force_mu_drop=force_mu)
@@ -866,6 +885,42 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
             gl_old = pieces["grad_lag"](z_prev, st.yE, st.lam, aux)
             lbfgs.update(np.asarray(st.z - z_prev),
                          np.asarray(gl_new - gl_old))
+        err_now = float(st.err0)
+        if np.isfinite(err_now) and (best is None or err_now < best[0]):
+            best = (err_now, st)
+        if opts.wedge_recover_after > 0 and not bool(st.converged):
+            # the ONLY trigger is a sustained alpha=0 lock (no step accepted
+            # for wedge_recover_after consecutive iterations).  Error
+            # explosions are deliberately NOT a trigger: large transient
+            # excursions are normal both in the cold-start phase and after
+            # barrier rung drops, and healthy runs recover from them on
+            # their own (demo control run: err 8e4 at it 650, converged
+            # anyway) — acting on them burned recoveries and derailed
+            # otherwise-convergent solves.
+            wedged_its = wedged_its + 1 if float(st.alpha) == 0.0 else 0
+            if (wedged_its >= opts.wedge_recover_after
+                    and best is not None
+                    and recoveries < opts.wedge_max_recoveries):
+                mu_new = min(opts.mu_init,
+                             max(float(best[1].mu) * 100.0, opts.mu_min))
+                st = best[1]._replace(
+                    mu=jnp.asarray(mu_new, dtype=best[1].mu.dtype))
+                filt.entries.clear()
+                if lbfgs is not None:
+                    lbfgs.pairs.clear()
+                wedged_its = 0
+                mu_stall = 0
+                recoveries += 1
+                # the rung we wedged below was too ambitious for the
+                # watchdog: stop FORCING below the recovered level (natural
+                # rung drops — subproblem actually solved — stay allowed),
+                # breaking the force->wedge->recover cycle
+                mu_force_floor = max(mu_force_floor, mu_new)
+            elif wedged_its >= max(2 * opts.wedge_recover_after, 30):
+                # recoveries exhausted and still locked: stop burning
+                # iterations (the pre-fix demo spun 1400 dead iterations);
+                # the best-iterate return below reports the best point
+                break
         if callback is not None:
             callback(k, st)
         history.append((float(st.err0), float(st.mu), float(st.alpha)))
@@ -878,6 +933,13 @@ def solve(problem_funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
                 break
         else:
             acceptable_run = 0
+    # out of iterations with a worse-than-best iterate (e.g. a late wedge
+    # with recoveries exhausted): return the best recorded point instead —
+    # IPOPT likewise reports the best acceptable point on restoration failure
+    if (not bool(st.converged) and best is not None
+            and (not np.isfinite(float(st.err0))
+                 or best[0] < float(st.err0))):
+        st = best[1]
     final_err = float(st.err0)
     # classify like IPOPT: optimal / solved-to-acceptable / out of iterations
     if bool(st.converged) and final_err <= opts.tol:
@@ -1376,6 +1438,10 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
     # below mirrors exactly what the on-device drop does.
     mu_ref = float(fst.ip.mu)
     stall_its = 0
+    best = None  # (err0, fst) wedge-recovery target (chunk granularity)
+    err_ref = None  # previous chunk's err0, for bit-identical wedge check
+    recoveries = 0
+    mu_force_floor = opts.mu_min  # raised by wedge recovery
     for k in range(n_chunks):
         fst = run_chunk(fst, aux)
         if callback is not None:
@@ -1385,6 +1451,45 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
         if t_end is not None and _time.time() > t_end:
             deadline_hit = True
             break
+        if opts.wedge_recover_after > 0:
+            err_now = float(fst.ip.err0)
+            if np.isfinite(err_now) and (best is None or err_now < best[0]):
+                best = (err_now, fst)
+            # wedged: a whole chunk accepted nothing (alpha 0, bit-identical
+            # err — same signature batch.reset_diverged uses).  Error
+            # explosions are deliberately NOT a trigger (healthy runs spike
+            # and recover on their own — see the host loop's note).  Restore
+            # the best chunk-boundary state with the barrier raised two
+            # rungs, filter + L-BFGS memory reset — host-side edits only,
+            # the compiled step's HLO (and its warm cache entry) untouched.
+            wedged = (err_ref is not None and err_now == err_ref
+                      and float(fst.ip.alpha) == 0.0)
+            err_ref = err_now
+            if (wedged and best is not None
+                    and recoveries < opts.wedge_max_recoveries):
+                mu_new = min(opts.mu_init,
+                             max(float(best[1].ip.mu) * 100.0, opts.mu_min))
+                fst = best[1]._replace(
+                    ip=best[1].ip._replace(
+                        mu=jnp.asarray(mu_new, best[1].ip.mu.dtype)),
+                    S=jnp.zeros_like(best[1].S),
+                    Y=jnp.zeros_like(best[1].Y),
+                    count=jnp.zeros_like(best[1].count),
+                    filt_tb=jnp.full_like(best[1].filt_tb, jnp.inf),
+                    filt_pb=jnp.full_like(best[1].filt_pb, jnp.inf),
+                    filt_idx=jnp.zeros_like(best[1].filt_idx))
+                recoveries += 1
+                err_ref = None
+                stall_its = 0
+                mu_ref = mu_new
+                # stop FORCING rungs below the recovered level (natural
+                # drops stay allowed) — breaks the force->wedge->recover
+                # cycle observed on the demo mission
+                mu_force_floor = max(mu_force_floor, mu_new)
+            elif wedged:
+                # recoveries exhausted and still locked: stop burning
+                # chunks; the best-iterate return below reports the best
+                break
         if opts.mu_force_after > 0:
             mu_now = float(fst.ip.mu)
             stall_its = stall_its + chunk if mu_now == mu_ref else 0
@@ -1393,7 +1498,8 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
             # subproblem (scaled KKT error already O(1)-small), never a
             # diverging one — forcing rungs at err≈1e4 wedged the demo
             # mission (alpha=0 at mu_min, verify drive r3)
-            if (stall_its >= opts.mu_force_after and mu_now > opts.mu_min
+            if (stall_its >= opts.mu_force_after
+                    and mu_now > max(opts.mu_min, mu_force_floor)
                     and float(fst.ip.err0) <= 1.0):
                 rung = max(opts.mu_min,
                            min(opts.kappa_mu * mu_now,
@@ -1407,6 +1513,12 @@ def solve_device(funcs, z0, lb, ub, opts: IPOptions = IPOptions(),
                 mu_ref = rung
                 stall_its = 0
     st = fst.ip
+    # exhausted iterations/recoveries with a worse-than-best iterate:
+    # report the best chunk-boundary point (mirrors the host loop)
+    if (not bool(st.converged) and best is not None
+            and (not np.isfinite(float(st.err0))
+                 or best[0] < float(st.err0))):
+        st = best[1].ip
     final_err = float(st.err0)
     if bool(st.converged) and final_err <= opts.tol:
         status = "optimal"

@@ -222,10 +222,13 @@ class TestMuWatchdog:
 
         def frozen_chunk(fst, aux):
             seen.append(float(fst.ip.mu))
-            # stalled but *grinding*: scaled KKT error already small, so
-            # the watchdog's err0<=1 safety gate lets the force through
+            # stalled but *grinding*: scaled KKT error already small (so the
+            # watchdog's err0<=1 safety gate lets the force through) and
+            # steps ARE being accepted (alpha>0 — an alpha=0 chunk with
+            # bit-identical err is a WEDGE and triggers recovery instead)
             return fst._replace(ip=fst.ip._replace(
-                err0=jnp.asarray(1e-3, fst.ip.err0.dtype)))
+                err0=jnp.asarray(1e-3, fst.ip.err0.dtype),
+                alpha=jnp.asarray(0.5, fst.ip.alpha.dtype)))
 
         st, info = solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
                                 chunk=10, prebuilt=(frozen_chunk, state0))
@@ -262,8 +265,85 @@ class TestMuWatchdog:
                      chunk=10, prebuilt=(diverging_chunk, state0))
         assert seen == [pytest.approx(1e-2)] * 3
 
+    def test_device_loop_wedge_recovery_restores_best(self):
+        """An exploding/wedged chunk sequence is rolled back to the best
+        chunk-boundary state with the barrier raised two rungs, and the
+        returned state is never worse than the best seen (the demo-mission
+        wedge: alpha=0 at err 3.4e6 spun 1400 dead iterations pre-fix)."""
+        from gelato_tpu.solver.ip import make_fused_step, solve_device
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, max_iter=40, wedge_recover_after=1)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        entries = []
+
+        def scripted_chunk(fst, aux):
+            k = len(entries)
+            entries.append((float(fst.ip.mu), float(fst.ip.err0)))
+            if k == 0:  # good chunk: becomes `best`
+                return fst._replace(ip=fst.ip._replace(
+                    err0=jnp.asarray(0.5, fst.ip.err0.dtype),
+                    alpha=jnp.asarray(0.5, fst.ip.alpha.dtype),
+                    mu=jnp.asarray(1e-6, fst.ip.mu.dtype)))
+            # every later chunk explodes (the wedge signature)
+            return fst._replace(ip=fst.ip._replace(
+                err0=jnp.asarray(3e6, fst.ip.err0.dtype),
+                alpha=jnp.asarray(0.0, fst.ip.alpha.dtype)))
+
+        st, info = solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                                chunk=10, prebuilt=(scripted_chunk, state0))
+        # the wedge needs two identical bad chunk boundaries (bit-identical
+        # err + alpha=0) to trigger; chunk 3 must then see the restored best
+        # (err 0.5) with mu raised two rungs from best's 1e-6
+        assert entries[3][0] == pytest.approx(1e-4)
+        assert entries[3][1] == pytest.approx(0.5)
+        # the final reported state is the best seen, not the exploded one
+        assert float(st.err0) == pytest.approx(0.5)
+        assert not info["converged"]
+
+    def test_device_loop_wedge_recovery_bounded(self):
+        """Recoveries stop after wedge_max_recoveries — no infinite
+        restore loop on a permanently exploding solve."""
+        from gelato_tpu.solver.ip import make_fused_step, solve_device
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, max_iter=100, wedge_recover_after=1,
+                         wedge_max_recoveries=2)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        n_good = []
+
+        def scripted_chunk(fst, aux):
+            good = float(fst.ip.err0) < 1.0  # restored-from-best entry
+            n_good.append(good)
+            if len(n_good) == 1:
+                return fst._replace(ip=fst.ip._replace(
+                    err0=jnp.asarray(0.5, fst.ip.err0.dtype),
+                    alpha=jnp.asarray(0.5, fst.ip.alpha.dtype),
+                    mu=jnp.asarray(1e-6, fst.ip.mu.dtype)))
+            return fst._replace(ip=fst.ip._replace(
+                err0=jnp.asarray(3e6, fst.ip.err0.dtype),
+                alpha=jnp.asarray(0.0, fst.ip.alpha.dtype)))
+
+        st, _ = solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                             chunk=10, prebuilt=(scripted_chunk, state0))
+        # entry 1 sees chunk 0's natural good state; the 2 allowed
+        # recoveries then produce exactly 2 restored-from-best entries
+        assert sum(n_good[2:]) == 2
+        assert float(st.err0) == pytest.approx(0.5)
+
     def test_device_loop_watchdog_off_by_default(self):
-        """mu_force_after=0 leaves a stalled state strictly alone."""
+        """mu_force_after=0 leaves a grinding state's barrier strictly
+        alone (steps being accepted, so no wedge recovery either)."""
         from gelato_tpu.solver.ip import make_fused_step, solve_device
 
         funcs = dict(
@@ -276,10 +356,37 @@ class TestMuWatchdog:
         _, state0 = make_fused_step(funcs, lb, ub, opts)
         seen = []
 
-        def frozen_chunk(fst, aux):
+        def grinding_chunk(fst, aux):
             seen.append(float(fst.ip.mu))
-            return fst
+            return fst._replace(ip=fst.ip._replace(
+                err0=jnp.asarray(5.0, fst.ip.err0.dtype),
+                alpha=jnp.asarray(0.5, fst.ip.alpha.dtype)))
 
         solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
-                     chunk=10, prebuilt=(frozen_chunk, state0))
+                     chunk=10, prebuilt=(grinding_chunk, state0))
         assert seen == [pytest.approx(1e-2)] * 3
+
+    def test_device_loop_dead_solve_stops_early(self):
+        """A solve whose error is never finite and that accepts nothing
+        (alpha=0, bit-identical state across chunks) is cut short instead
+        of burning the full chunk budget."""
+        from gelato_tpu.solver.ip import make_fused_step, solve_device
+
+        funcs = dict(
+            obj=lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+            eq=lambda z: jnp.asarray([z[0] + z[1] - 2.0]),
+            ineq=lambda z: jnp.asarray([z[0] - z[1]]),
+        )
+        lb, ub = np.zeros(2), np.full(2, 5.0)
+        opts = IPOptions(mu_init=1e-2, max_iter=100)
+        _, state0 = make_fused_step(funcs, lb, ub, opts)
+        seen = []
+
+        def dead_chunk(fst, aux):
+            seen.append(float(fst.ip.mu))
+            return fst  # err0 stays inf, alpha stays 0
+
+        _, info = solve_device(funcs, np.array([4.0, 0.5]), lb, ub, opts,
+                               chunk=10, prebuilt=(dead_chunk, state0))
+        assert len(seen) < 10
+        assert not info["converged"]
