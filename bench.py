@@ -52,6 +52,44 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _total_budget():
+    """Whole-process wall-clock budget (seconds).
+
+    The driver's timeout was pinned down in round 4 from artifact mtimes:
+    BENCH_r03.json landed at 03:50:25, exactly 30 minutes after that bench
+    run's 03:20:29 start (and MULTICHIP_r03.json exactly 10 minutes later —
+    the dryrun budget is 600 s).  Default: 1800 s minus a 60-s safety
+    margin.  Round 3 died not because 30 min is short but because the
+    init/scale one-shot programs' HLO had drifted after the rehearsal and
+    each paid a ~7-8 min fresh remote compile (cache-write timestamps
+    03:28 and 03:35 in ~/.cache/gelato_tpu_xla tell the story).
+    """
+    return float(os.environ.get("GELATO_BENCH_TOTAL", "1740"))
+
+
+def _provisional(stage, **extra):
+    """Emit an honest partial artifact line.
+
+    The driver parses the LAST JSON line on stdout; printing a provisional
+    record at each stage means a mid-run kill leaves a parseable, clearly
+    labelled partial result instead of round-3's ``parsed: null``.  The
+    final headline line (printed right after the measured solve) overwrites
+    these by order.
+    """
+    rec = {
+        "metric": "example_case_solve_wall_clock",
+        "value": round(time.time() - _T_START, 1),
+        "unit": "s",
+        "vs_baseline": 0.0,
+        "converged": False,
+        "status": "provisional:" + stage,
+        "note": ("partial artifact: process was killed before the measured"
+                 " solve finished; value = elapsed seconds at this stage"),
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
 def _tpu_alive(timeout_s):
     """Probe device init in a THROWAWAY subprocess.
 
@@ -153,7 +191,8 @@ def _payload_kg(problem, st):
     return float(st.z[0]) * problem.units.mass - problem.mission.m_init - drop
 
 
-def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
+def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None,
+                emit_provisional=False):
     import jax
     from gelato_tpu.solver import prebuild_device_loop, solve_device
 
@@ -183,7 +222,8 @@ def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
         # until one completes fast so the measured run sees only
         # steady-state dispatches.
         warm_end = _T_START + float(
-            os.environ.get("GELATO_BENCH_WARM_BUDGET", "1500"))
+            os.environ.get("GELATO_BENCH_WARM_BUDGET",
+                           str(0.6 * _total_budget())))
         # CPU fallback: local dispatch has no executable-load pathology — one
         # warm chunk (the compile) is enough, and a 40-it CPU chunk sits right
         # at the 45-s "fast" threshold, so the loop could burn 6 chunks
@@ -200,11 +240,16 @@ def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None):
                 break
         # re-derive the measured deadline AFTER warm-up so the headline line
         # still prints before a driver-side process timeout even when
-        # warm-up ran long (GELATO_BENCH_TOTAL bounds the whole process)
+        # warm-up ran long (GELATO_BENCH_TOTAL bounds the whole process);
+        # 40 s is reserved for the violation eval + headline print
         if deadline_s is not None:
-            total = float(os.environ.get("GELATO_BENCH_TOTAL", "2100"))
+            total = _total_budget()
             deadline_s = min(deadline_s,
-                             max(120.0, total - (time.time() - _T_START)))
+                             max(60.0,
+                                 total - 40.0 - (time.time() - _T_START)))
+        if emit_provisional:
+            _provisional("warmup_done",
+                         measured_deadline_s=round(deadline_s or 0.0, 1))
         _log(f"bench: measured solve start ({time.time() - _T_START:.0f}s, "
              f"deadline {deadline_s})")
         t0 = time.time()
@@ -293,7 +338,9 @@ def main():
     fallback = os.environ.get("GELATO_BENCH_CPU_FALLBACK", "") == "1"
     if (not fallback and os.environ.get("PALLAS_AXON_POOL_IPS")
             and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
-        probe_s = float(os.environ.get("GELATO_BENCH_TPU_PROBE_S", "240"))
+        probe_s = float(os.environ.get(
+            "GELATO_BENCH_TPU_PROBE_S",
+            str(max(60.0, min(120.0, _total_budget() / 6.0)))))
         t_p = time.time()
         if not _tpu_alive(probe_s):
             _log(f"bench: TPU probe FAILED after {time.time() - t_p:.0f}s — "
@@ -305,7 +352,13 @@ def main():
 
     cfg = _load_config()
     _log(f"bench: config {cfg}")
+    _provisional("config_loaded",
+                 device="cpu_fallback_tunnel_down" if fallback else "tpu")
+    t_b = time.time()
     problem, z0, funcs = _build(cfg)
+    _log(f"bench: problem built in {time.time() - t_b:.1f}s "
+         f"({time.time() - _T_START:.0f}s elapsed)")
+    _provisional("problem_built")
 
     n_batch = int(os.environ.get("GELATO_BENCH_BATCH", "0"))
     if n_batch:
@@ -316,11 +369,11 @@ def main():
                                     cfg["deadline_s"]))
     if fallback:
         # the recorded full CPU solve is 510-784 s — don't cut it at the TPU
-        # path's 600-s default; _solve_once still re-bounds by
-        # GELATO_BENCH_TOTAL minus elapsed time
-        deadline = float(os.environ.get("GELATO_BENCH_TOTAL", "2100"))
+        # path's default; _solve_once still re-bounds by the total budget
+        # minus elapsed time
+        deadline = _total_budget()
     wall, info, st = _solve_once(problem, funcs, z0, cfg,
-                                 deadline_s=deadline)
+                                 deadline_s=deadline, emit_provisional=True)
 
     # max equality violation via a jitted (cache-served) evaluation — an
     # eager evaluation would pay ~30 ms/op over the remote dispatch tunnel.
@@ -364,7 +417,7 @@ def main():
     force_batch = os.environ.get("GELATO_BENCH_FORCE_BATCH", "") == "1"
     if ((cfg.get("batch_ready") and not fallback and info["converged"])
             or force_batch):
-        total = float(os.environ.get("GELATO_BENCH_TOTAL", "2100"))
+        total = _total_budget()
         left = total - (time.time() - _T_START)
         need = float(cfg.get("batch_budget_s", 700.0))
         if left > need or force_batch:
