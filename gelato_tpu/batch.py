@@ -126,7 +126,10 @@ def overlay_warm_batch(problem, states, warm, cases):
     states = states._replace(ip=states.ip._replace(
         z=tile(warm["z"]), s=tile(warm["s"]), yE=tile(warm["yE"]),
         lam=tile(warm["lam"]), zL=tile(warm["zL"]), zU=tile(warm["zU"]),
-        mu=jnp.full((B,), float(warm["mu"]))))
+        # explicit dtype: a weak-typed fill would make the overlaid state's
+        # avals differ from the scan carry's and re-lower the whole batched
+        # program on the second dispatch (see ip.py state0's note)
+        mu=jnp.full((B,), float(warm["mu"]), dtype=states.ip.mu.dtype)))
 
     @jax.jit
     @jax.vmap

@@ -1353,8 +1353,13 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
             ip=ip0,
             S=jnp.zeros((mem, n)), Y=jnp.zeros((mem, n)),
             count=jnp.asarray(0, jnp.int64), acc_run=jnp.asarray(0, jnp.int64),
-            filt_tb=jnp.full(FILTER_SIZE, jnp.inf),
-            filt_pb=jnp.full(FILTER_SIZE, jnp.inf),
+            # explicit dtype: a weak-typed jnp.inf fill makes the state0
+            # output's avals differ from the scan carry's (weak_type
+            # True->False), so the SECOND run_chunk dispatch re-lowers the
+            # whole fused program — observed as a second ~20-min remote
+            # compile mid-measured-run (bench rehearsal m3, round 4)
+            filt_tb=jnp.full(FILTER_SIZE, jnp.inf, dtype=theta_ref.dtype),
+            filt_pb=jnp.full(FILTER_SIZE, jnp.inf, dtype=theta_ref.dtype),
             filt_idx=jnp.asarray(0, jnp.int64),
             theta_max=opts.theta_max_factor * theta_ref,
             theta_min=1.0e-4 * theta_ref)
