@@ -259,7 +259,7 @@ def _solve_once(problem, funcs, z0, cfg, device=None, deadline_s=None,
     return wall, info, st
 
 
-def _bench_batch(problem, funcs, z0, cfg, n_cases):
+def _bench_batch(problem, funcs, z0, cfg, n_cases, batch_only=False):
     """Dispersion-batch throughput: n_cases wind/CA-dispersed solves in
     lock-step vmapped lanes, chunked to fit HBM (BASELINE target #2,
     run_batch.sh:75-79 analogue)."""
@@ -290,17 +290,36 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases):
             warm_safe = push_warm(w, mu=1.0e-3)
             zb = np.tile(warm["z"], (zb.shape[0], 1))
             _log(f"bench batch: warm-starting all lanes from {state_path}")
-    # warm-up: one iteration chunk on the first lane block pays the
-    # compile/executable load; the measured run shares the same jitted loop
+    # warm-up: iteration chunks on the first lane block pay the
+    # compile/executable load; the measured run shares the same jitted loop.
+    # Warm *until a chunk is fast* — the remote toolchain pays executable
+    # deserialization on the first and sometimes second dispatch of a
+    # program even on a persistent-cache hit (the m3/m4 single-case lesson,
+    # PERF.md round-4).
     import jax
     from gelato_tpu.batch import prebuild_batch_loop
 
+    t_p = time.time()
     prebuilt = prebuild_batch_loop(problem, opts, chunk=chunk, z0_ref=z0,
                                    colored=bool(cfg["colored"]))
+    _log(f"bench batch: loop prebuilt in {time.time() - t_p:.1f}s "
+         f"({time.time() - _T_START:.0f}s elapsed)")
     warm_cases = jax.tree.map(lambda x: x[:lanes], cases)
-    solve_batch_scan(problem, zb[:lanes], opts._replace(max_iter=chunk),
-                     cases=warm_cases, chunk=chunk, warm=warm,
-                     warm_safe=warm_safe, prebuilt=prebuilt)
+    for attempt in range(4):
+        t_w = time.time()
+        solve_batch_scan(problem, zb[:lanes], opts._replace(max_iter=chunk),
+                         cases=warm_cases, chunk=chunk, warm=warm,
+                         warm_safe=warm_safe, prebuilt=prebuilt)
+        dt = time.time() - t_w
+        _log(f"bench batch: warm-up chunk {attempt}: {dt:.1f}s "
+             f"({time.time() - _T_START:.0f}s elapsed)")
+        if dt < 60.0:
+            break
+    if batch_only:
+        # never in second-line mode: the driver parses the LAST JSON line,
+        # and a provisional here would overwrite an already-printed
+        # converged headline if the batch stage got killed mid-run
+        _provisional("batch_warmup_done", lanes=lanes, n_cases=n_cases)
     t0 = time.time()
     res = solve_batch_chunked(problem, zb, opts, cases=cases, lanes=lanes,
                               warm=warm, warm_safe=warm_safe,
@@ -362,7 +381,7 @@ def main():
 
     n_batch = int(os.environ.get("GELATO_BENCH_BATCH", "0"))
     if n_batch:
-        _bench_batch(problem, funcs, z0, cfg, n_batch)
+        _bench_batch(problem, funcs, z0, cfg, n_batch, batch_only=True)
         return
 
     deadline = float(os.environ.get("GELATO_BENCH_DEADLINE",

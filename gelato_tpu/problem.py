@@ -30,6 +30,81 @@ from .transcription import SectionStack
 
 GM = 3.986004418e14
 
+_SOURCE_HASH = None
+
+
+def _source_hash():
+    """sha256 over the package's .py sources — the pattern-cache salt.
+
+    The Jacobian sparsity pattern is a pure function of (mission content,
+    constraint code); salting the cache key with the source bytes makes any
+    code change invalidate every cached pattern, so a stale pattern can
+    never silently produce wrong colored Jacobians or struct groupings.
+    """
+    global _SOURCE_HASH
+    if _SOURCE_HASH is None:
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(f.read())
+        _SOURCE_HASH = h.hexdigest()
+    return _SOURCE_HASH
+
+
+def _pattern_cache_path(problem, z0):
+    """Cache file for this (mission, mesh, code) triple, or None."""
+    import hashlib
+    import json
+    import os
+
+    try:
+        h = hashlib.sha256()
+        h.update(_source_hash().encode())
+        h.update(json.dumps(problem.mission.settings, sort_keys=True,
+                            default=str).encode())
+        ev = problem.mission.events
+        for arr in (ev.num_nodes, ev.time, ev.rocket_stage, ev.engine_on,
+                    ev.att_code):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(str(list(ev.names)).encode())
+        h.update(str(np.asarray(z0).shape).encode())
+        d = os.path.join(os.path.expanduser("~"), ".cache",
+                         "gelato_tpu_patterns")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, h.hexdigest()[:32] + ".npz")
+    except Exception:  # noqa: BLE001 - cache is best-effort only
+        return None
+
+
+def _load_pattern_cache(problem, z0):
+    import os
+
+    path = _pattern_cache_path(problem, z0)
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        d = np.load(path)
+        return d["pat_eq"].astype(bool), d["pat_in"].astype(bool)
+    except Exception:  # noqa: BLE001 - unreadable cache = re-probe
+        return None
+
+
+def _store_pattern_cache(problem, z0, pat_eq, pat_in):
+    path = _pattern_cache_path(problem, z0)
+    if path is None:
+        return
+    try:
+        np.savez_compressed(path, pat_eq=np.asarray(pat_eq, dtype=bool),
+                            pat_in=np.asarray(pat_in, dtype=bool))
+    except Exception:  # noqa: BLE001 - cache is best-effort only
+        pass
+
 
 @dataclass(frozen=True)
 class Units:
@@ -786,15 +861,20 @@ class Problem:
 
         if z0 is None:
             z0 = ig.initial_guess(self)
-        try:
-            cpu = jax.devices("cpu")[0]
-            ctx = jax.default_device(cpu)
-        except RuntimeError:
-            import contextlib
-            ctx = contextlib.nullcontext()
-        with ctx:
-            pat_eq = jacobian_pattern(funcs["eq"], z0)
-            pat_in = jacobian_pattern(funcs["ineq"], z0)
+        cached = _load_pattern_cache(self, z0)
+        if cached is not None:
+            pat_eq, pat_in = cached
+        else:
+            try:
+                cpu = jax.devices("cpu")[0]
+                ctx = jax.default_device(cpu)
+            except RuntimeError:
+                import contextlib
+                ctx = contextlib.nullcontext()
+            with ctx:
+                pat_eq = jacobian_pattern(funcs["eq"], z0)
+                pat_in = jacobian_pattern(funcs["ineq"], z0)
+            _store_pattern_cache(self, z0, pat_eq, pat_in)
         if colored:
             color_e = greedy_color(pat_eq)
             color_i = greedy_color(pat_in)
