@@ -267,11 +267,17 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases, batch_only=False):
     from gelato_tpu.batch import (solve_batch_chunked, solve_batch_scan,
                                   wind_dispersion_batch)
 
-    lanes = int(os.environ.get("GELATO_BENCH_BATCH_LANES", "32"))
+    lanes = int(os.environ.get("GELATO_BENCH_BATCH_LANES",
+                               cfg.get("batch_lanes", 32)))
     lanes = min(lanes, n_cases)
     zb, cases = wind_dispersion_batch(problem, n_cases)
     opts = _opts(cfg, max_iter=int(cfg.get("batch_max_iter", 1500)))
-    chunk = int(cfg["chunk"])
+    # batch scan length is its own knob: the batched run_chunk executable
+    # grows with lanes x chunk, and oversized programs fault the TPU worker
+    # (PERF.md "B=32 faults the TPU worker") — shrinking the batch chunk
+    # trades host round-trips for a smaller per-dispatch working set
+    chunk = int(os.environ.get("GELATO_BENCH_BATCH_CHUNK",
+                               cfg.get("batch_chunk", cfg["chunk"])))
 
     # Warm-start every lane from the checked-in nominal solution with
     # IPOPT-style dual push (the reference's dispersion workflow seeds each
