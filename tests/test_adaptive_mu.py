@@ -21,6 +21,9 @@ import jax.numpy as jnp  # noqa: E402
 from gelato_tpu.solver.ip import IPOptions, IPState, make_pieces  # noqa: E402
 
 SETTINGS = "/root/reference/example/example-settings.json"
+
+# >30 s on the 1-vCPU host (measured: per-file timing, PERF.md round 4)
+pytestmark = pytest.mark.slow
 needs_ref = pytest.mark.skipif(not os.path.exists(SETTINGS),
                                reason="no reference data")
 

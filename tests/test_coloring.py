@@ -13,6 +13,9 @@ from gelato_tpu.solver import coloring  # noqa: E402
 
 SETTINGS = "/root/reference/example/example-settings.json"
 
+# >30 s on the 1-vCPU host (measured: per-file timing, PERF.md round 4)
+pytestmark = pytest.mark.slow
+
 
 def test_greedy_color_valid_on_random_pattern():
     rng = np.random.default_rng(0)

@@ -19,9 +19,12 @@ from gelato_tpu import initial_guess as ig  # noqa: E402
 
 SETTINGS = "/root/reference/example/example-settings.json"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(SETTINGS), reason="reference example data not available"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(SETTINGS),
+                       reason="reference example data not available"),
+    # >30 s on the 1-vCPU host (measured: per-file timing, PERF.md round 4)
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

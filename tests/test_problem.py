@@ -98,6 +98,8 @@ class TestResiduals:
 
 
 class TestJacobians:
+    # ~51 s on the 1-vCPU host (PERF.md round-4 per-test timing)
+    @pytest.mark.slow
     def test_ad_matches_fd(self, problem, z0):
         """jacfwd vs central finite differences on random variable subsets
         (replaces the reference's FD machinery as ground truth check)."""

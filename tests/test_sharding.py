@@ -24,9 +24,12 @@ from gelato_tpu.solver.ip import IPOptions
 
 SETTINGS = "/root/reference/example/example-settings.json"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(SETTINGS), reason="reference example data not available"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(SETTINGS),
+                       reason="reference example data not available"),
+    # >30 s on the 1-vCPU host (measured: per-file timing, PERF.md round 4)
+    pytest.mark.slow,
+]
 
 
 def tiny_problem():
