@@ -141,6 +141,29 @@ def main():
                       (stB, gB, cEB, cIB, JEB, JIB,
                        tileB(jnp.zeros((n, n))), stB.mu[0])),
     }
+
+    def retry_loop_lane(st1, g1, cE1, cI1, JE1, JI1):
+        """A data-dependent bounded while_loop AROUND the struct direction —
+        the same composition shape as the fused step's inertia-retry loop
+        (ip.py run_retry): under vmap this lowers to a batched-predicate
+        while whose body contains the linalg, a code path none of the
+        isolated piece probes exercise."""
+        def cond(c):
+            k, nrm = c
+            return (k < 3) & (nrm < 1.0e30)
+
+        def body(c):
+            k, _ = c
+            d = pieces["direction_struct"](st1, g1, cE1, cI1, JE1, JI1,
+                                           sVc, st1.mu)
+            return k + 1, jnp.linalg.norm(d["dz"]) + 0.0 * k
+
+        return jax.lax.while_loop(cond, body, (jnp.asarray(0), jnp.asarray(0.0)))[1]
+
+    table["retry_loop"] = (
+        "vmap while_loop(direction_struct) (inertia-retry shape)",
+        jax.jit(jax.vmap(retry_loop_lane)),
+        (stB, gB, cEB, cIB, JEB, JIB))
     for key in want:
         name, fn, fargs = table[key]
         if not run(name, fn, fargs):
