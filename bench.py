@@ -177,6 +177,11 @@ def _opts(cfg, **over):
                 kkt_method=cfg["kkt_method"], hessian=cfg["hessian"],
                 mu_strategy=cfg.get("mu_strategy", "monotone"),
                 mu_force_after=int(cfg.get("mu_force_after", 0)))
+    # batch-safe control-flow knobs (set via batch_overrides for the
+    # dispersion batch; absent from the single-case cache-warm config)
+    for k in ("batch_safe_loops", "max_soc", "max_inertia_retries"):
+        if k in cfg:
+            base[k] = cfg[k]
     base.update(over)
     return IPOptions(**base)
 
@@ -387,7 +392,11 @@ def main():
 
     n_batch = int(os.environ.get("GELATO_BENCH_BATCH", "0"))
     if n_batch:
-        _bench_batch(problem, funcs, z0, cfg, n_batch, batch_only=True)
+        # batch-ONLY mode gets the same batch_overrides (struct KKT,
+        # batch-safe loops) as the post-headline batch stage
+        bcfg = dict(cfg)
+        bcfg.update(cfg.get("batch_overrides", {}))
+        _bench_batch(problem, funcs, z0, bcfg, n_batch, batch_only=True)
         return
 
     deadline = float(os.environ.get("GELATO_BENCH_DEADLINE",

@@ -19,10 +19,23 @@ import jax
 # staying on-device.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the solver pieces (Hessian graph in
-# particular) take minutes to compile on a single-core host; cache them.
-_cache_dir = os.environ.get("GELATO_TPU_CACHE",
-                            os.path.expanduser("~/.cache/gelato_tpu_xla"))
+# Persistent compilation cache: the solver pieces (the fused IP step in
+# particular) take ~40-70 min to compile on the remote toolchain.  The cache
+# lives IN-REPO by default so committed entries survive the per-round
+# container teardown (every round since r2 re-paid the fused-step compile
+# because ~/.cache died with the container); falls back to ~/.cache when the
+# package directory is not writable.
+_cache_dir = os.environ.get("GELATO_TPU_CACHE")
+if _cache_dir is None:
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "xla_cache")
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        with open(os.path.join(_cache_dir, ".writable"), "w") as _f:
+            _f.write("ok")
+    except OSError:
+        _cache_dir = os.path.expanduser("~/.cache/gelato_tpu_xla")
 if _cache_dir:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -34,12 +34,18 @@ _SOURCE_HASH = None
 
 
 def _source_hash():
-    """sha256 over the package's .py sources — the pattern-cache salt.
+    """sha256 over the *pattern-relevant* .py sources — the cache salt.
 
     The Jacobian sparsity pattern is a pure function of (mission content,
     constraint code); salting the cache key with the source bytes makes any
-    code change invalidate every cached pattern, so a stale pattern can
-    never silently produce wrong colored Jacobians or struct groupings.
+    constraint-code change invalidate every cached pattern, so a stale
+    pattern can never silently produce wrong colored Jacobians or struct
+    groupings.  Only the modules the constraint evaluation actually imports
+    are hashed — problem/config/dynamics/compat plus transcription/ and
+    ops/.  Solver or batch edits cannot change sparsity, and hashing them
+    too (round ≤3 behavior) threw away the cache on every solver tweak:
+    each probe re-run costs ~4 min of the driver's bench budget on this
+    1-vCPU host.
     """
     global _SOURCE_HASH
     if _SOURCE_HASH is None:
@@ -48,17 +54,31 @@ def _source_hash():
 
         h = hashlib.sha256()
         pkg = os.path.dirname(os.path.abspath(__file__))
-        for root, _dirs, files in sorted(os.walk(pkg)):
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    with open(os.path.join(root, fn), "rb") as f:
-                        h.update(f.read())
+        paths = [os.path.join(pkg, f) for f in
+                 ("problem.py", "config.py", "dynamics.py", "compat.py")]
+        for sub in ("transcription", "ops"):
+            d = os.path.join(pkg, sub)
+            if os.path.isdir(d):
+                paths.extend(os.path.join(d, fn)
+                             for fn in sorted(os.listdir(d))
+                             if fn.endswith(".py"))
+        for p in paths:
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
         _SOURCE_HASH = h.hexdigest()
     return _SOURCE_HASH
 
 
 def _pattern_cache_path(problem, z0):
-    """Cache file for this (mission, mesh, code) triple, or None."""
+    """Cache file for this (mission, mesh, code) triple, or None.
+
+    Lives **in-repo** (``gelato_tpu/_patterns/``) by default so entries can
+    be committed and survive fresh containers — the driver's bench host is
+    recreated every round, and a probe re-run there costs ~4 min of its
+    budget.  Override with ``GELATO_PATTERN_CACHE_DIR``; falls back to
+    ``~/.cache`` when the package directory is not writable.
+    """
     import hashlib
     import json
     import os
@@ -74,9 +94,14 @@ def _pattern_cache_path(problem, z0):
             h.update(np.ascontiguousarray(arr).tobytes())
         h.update(str(list(ev.names)).encode())
         h.update(str(np.asarray(z0).shape).encode())
-        d = os.path.join(os.path.expanduser("~"), ".cache",
-                         "gelato_tpu_patterns")
-        os.makedirs(d, exist_ok=True)
+        d = os.environ.get("GELATO_PATTERN_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "_patterns")
+        try:
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            d = os.path.join(os.path.expanduser("~"), ".cache",
+                             "gelato_tpu_patterns")
+            os.makedirs(d, exist_ok=True)
         return os.path.join(d, h.hexdigest()[:32] + ".npz")
     except Exception:  # noqa: BLE001 - cache is best-effort only
         return None

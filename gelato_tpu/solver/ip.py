@@ -158,6 +158,22 @@ class IPOptions(NamedTuple):
     # destroyed while the multipliers of the ill-conditioned continuity
     # chain equilibrate; inactive once ‖dz‖ is moderate.
     max_step_norm: float = 1.0
+    # Batch-safe device control flow for the fused step (OFF by default so
+    # the single-case HLO — and its warm compile-cache entry — is untouched).
+    # Every vmapped ``lax.scan(vmap(step))`` program faults the TPU worker
+    # at its first dispatch while all of the step's *pieces* run fine
+    # vmapped in isolation (PERF.md round-4 bisect): the remaining
+    # structural difference is the step's ``lax.while_loop``s and
+    # ``lax.cond``s, which lower to batched-predicate whiles /
+    # select-both-branches under vmap.  With this flag the step is pure
+    # scan+dataflow: the backtracking while_loop becomes a fixed-trip scan
+    # (masked, same semantics), the inertia-retry while_loop is statically
+    # unrolled to ``max_inertia_retries`` trips (batch callers should set it
+    # to 1 — a failed iteration escalates δ_w across scan iterations via the
+    # existing failure bookkeeping instead of retrying in-place), and the
+    # SOC lax.cond is skipped when ``max_soc == 0`` (set it to 0 for
+    # batches) or computed unconditionally + selected otherwise.
+    batch_safe_loops: bool = False
 
 
 class IPState(NamedTuple):
@@ -1063,6 +1079,12 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
     raw = make_pieces(funcs, lbr, ubr, opts, struct_meta=struct_meta)["raw"]
     use_lbfgs = opts.hessian in ("lbfgs", "hybrid")
     use_struct = opts.kkt_method == "struct"
+    if opts.batch_safe_loops and opts.hessian == "hybrid":
+        raise ValueError(
+            "batch_safe_loops is incompatible with hessian='hybrid' (the "
+            "exact-Newton endgame lax.cond would execute both branches per "
+            "lane under vmap, paying the dense n^2 Hessian for every lane); "
+            "use hessian='lbfgs' for batched solves")
     if use_struct and struct_meta is None:
         raise ValueError(
             "kkt_method='struct' needs funcs['struct_meta'] — build the "
@@ -1135,8 +1157,20 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
             return (jnp.asarray(False), jnp.asarray(False),
                     jnp.asarray(0.0, f64), _d_small(d))
 
-        okc, armc, a_soc, d_soc_small = jax.lax.cond(
-            soc_needed, soc_branch, soc_skip, None)
+        if not opts.batch_safe_loops:
+            okc, armc, a_soc, d_soc_small = jax.lax.cond(
+                soc_needed, soc_branch, soc_skip, None)
+        elif opts.max_soc > 0:
+            # batch-safe: unconditional compute + select — the dataflow vmap
+            # would lower the cond to anyway, minus the batched-cond
+            # construct itself (PERF.md round-4 bisect)
+            okc, armc, a_soc, d_soc_small = jax.tree.map(
+                lambda a, b: jnp.where(soc_needed, a, b),
+                soc_branch(None), soc_skip(None))
+        else:
+            # static skip: batch callers disable SOC (max_soc=0) so the
+            # batched step never pays the extra factor-reuse solve
+            okc, armc, a_soc, d_soc_small = soc_skip(None)
         soc_ok = soc_needed & okc
 
         # --- backtracking on the primary direction (α_rel = 1/2, 1/4, ...)
@@ -1156,10 +1190,18 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
             _, done, _, _, k = carry
             return (~done) & (k < opts.max_ls)
 
-        _, bt_done, bt_rel, bt_arm, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.asarray(0.5, f64), ok0 | soc_ok,
-             jnp.asarray(0.0, f64), jnp.asarray(False), jnp.asarray(1)))
+        bt_init = (jnp.asarray(0.5, f64), ok0 | soc_ok,
+                   jnp.asarray(0.0, f64), jnp.asarray(False), jnp.asarray(1))
+        if opts.batch_safe_loops:
+            # fixed-trip scan, masked by `done` exactly as the while body
+            # already is — same semantics, no batched-predicate while in the
+            # vmapped lowering.  The while runs body for k=1..max_ls-1.
+            _, bt_done, bt_rel, bt_arm, _ = jax.lax.scan(
+                lambda c, _: (body(c), None), bt_init, None,
+                length=max(opts.max_ls - 1, 0))[0]
+        else:
+            _, bt_done, bt_rel, bt_arm, _ = jax.lax.while_loop(
+                cond, body, bt_init)
         bt_ok = bt_done & ~ok0 & ~soc_ok & (bt_rel > 0.0)
 
         ok = ok0 | soc_ok | bt_ok
@@ -1234,6 +1276,17 @@ def make_fused_step(funcs, lb, ub, opts: IPOptions = IPOptions(),
                     by_armijo=jnp.where(take, by_arm, c["by_armijo"]),
                     delta_used=jnp.where(take, c["delta"], c["delta_used"]))
 
+            if opts.batch_safe_loops:
+                # static unroll (batch callers set max_inertia_retries=1):
+                # every trip's direction solve executes unconditionally, so
+                # keep the trip count at 1 for batches and let a failed
+                # iteration escalate δ_w across scan iterations through the
+                # existing failure bookkeeping (delta_next below) instead of
+                # retrying in-place.
+                c = init
+                for _ in range(opts.max_inertia_retries):
+                    c = retry_body(c)
+                return c
             return jax.lax.while_loop(retry_cond, retry_body, init)
 
         def retry_dense(W):

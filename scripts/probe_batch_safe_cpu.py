@@ -1,0 +1,64 @@
+"""CPU A/B: batch-safe vs normal control flow on the tiny warm batch.
+
+Both runs use the production batch path (solve_batch_scan, struct KKT,
+L-BFGS, warm overlay + divergence restarts).  The only difference is the
+device control flow: batch-safe (scan+dataflow, max_soc=0, 1 inertia trip)
+vs normal (while_loop backtracking, lax.cond SOC, 3 retries).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp  # noqa: F401
+
+    from gelato_tpu import initial_guess as ig
+    from gelato_tpu.batch import dispersion_cases, solve_batch_scan
+    from gelato_tpu.config import load_mission
+    from gelato_tpu.problem import Problem
+    from gelato_tpu.solver.ip import IPOptions
+    from gelato_tpu.solver.warm_start import load_state, push_warm
+
+    mission = load_mission("/root/reference/example/example-settings.json")
+    mission.events.num_nodes = np.full_like(mission.events.num_nodes, 2)
+    problem = Problem(mission)
+    z0 = np.asarray(ig.initial_guess(problem, dt=2.0))
+    batch = 4
+    zb = np.tile(z0, (batch, 1))
+    cases = dispersion_cases(problem, batch, sigma_wind=2.0, sigma_ca=0.02,
+                             seed=0)
+    warm0 = load_state(os.path.join(os.path.dirname(__file__), "..",
+                                    "tests", "data", "tiny2_warm.npz"))
+    warm = push_warm(warm0, mu=1.0e-5)
+    warm_safe = push_warm(warm0, mu=1.0e-3)
+
+    configs = {
+        "batch_safe": dict(kkt_method="struct", hessian="lbfgs",
+                           batch_safe_loops=True, max_soc=0,
+                           max_inertia_retries=1, max_iter=400),
+        "normal": dict(kkt_method="struct", hessian="lbfgs", max_iter=400),
+    }
+    for name in sys.argv[1:] or list(configs):
+        opts = IPOptions(**configs[name])
+        t0 = time.time()
+        states = solve_batch_scan(problem, zb, opts, cases=cases, chunk=20,
+                                  warm=warm, warm_safe=warm_safe)
+        err = np.asarray(states.ip.err0)
+        conv = np.asarray(states.ip.converged)
+        its = np.asarray(states.ip.it)
+        print(f"{name}: {conv.sum()}/{batch} converged in "
+              f"{time.time()-t0:.0f}s  err={np.array2string(err, precision=2)}"
+              f"  it={its}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
