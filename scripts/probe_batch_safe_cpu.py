@@ -10,8 +10,17 @@ import os
 import sys
 import time
 
+# CPU-only must be enforced by RE-EXEC, not in-process env surgery: the
+# sitecustomize hook registers the remote-accelerator plugin at interpreter
+# startup whenever PALLAS_AXON_POOL_IPS is set — before this module runs —
+# and then every tiny op crawls over the tunnel (observed: 150 s of CPU in
+# 21 min, zero output).  Same pattern as run.py --cpu / dryrun_multichip.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
