@@ -310,7 +310,19 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             mu_prev = states.ip.mu
         if callback is not None:
             callback(k, states)
-        if bool(jnp.all(states.ip.converged)):
+        done = bool(jnp.all(states.ip.converged))
+        # per-chunk heartbeat (host-side print only — the compiled chunk
+        # program is untouched): the remote-TPU tunnel can die mid-run with
+        # the client RPC sleeping forever at 0 CPU, and a long batched run
+        # is otherwise silent for its whole duration; a flushed line per
+        # chunk lets an external supervisor distinguish "working" from
+        # "hung" by log mtime (the convergence pull above already syncs, so
+        # this costs nothing extra)
+        print(f"batch heartbeat {k + 1}/{n_chunks}: "
+              f"{int(jnp.sum(states.ip.converged))}/{states.ip.z.shape[0]} "
+              f"converged, err max {float(jnp.max(states.ip.err0)):.2e}",
+              flush=True)
+        if done:
             break
     return states
 
