@@ -17,6 +17,8 @@ share the mission structure (events, node counts, constraint layout); the
 heterogeneous missions, run one batch per structure (or use batch_cli).
 """
 
+import sys
+
 import numpy as np
 
 import jax
@@ -24,6 +26,13 @@ import jax.numpy as jnp
 
 from .problem import Problem
 from .solver.ip import IPOptions, make_fused_step
+
+
+def _log(msg):
+    """Progress/heartbeat lines go to STDERR: bench.py's driver parses the
+    last stdout line as JSON, and a mid-run kill must never leave a
+    heartbeat as the literal last line of the artifact (ADVICE r4)."""
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _case_funcs(problem: Problem, opts: IPOptions, z0_ref=None,
@@ -105,8 +114,8 @@ def solve_batch(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             done = np.asarray(states.ip.converged)
             if verbose:
                 err = np.asarray(states.ip.err0)
-                print(f"batch iter {k+1}: {done.sum()}/{done.size} converged, "
-                      f"max err {np.nanmax(err):.3e}", flush=True)
+                _log(f"batch iter {k+1}: {done.sum()}/{done.size} converged, "
+                     f"max err {np.nanmax(err):.3e}")
             if done.all():
                 break
     return states
@@ -235,7 +244,7 @@ def prebuild_batch_loop(problem: Problem, opts: IPOptions = IPOptions(),
 def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                      cases=None, mesh=None, chunk=40, callback=None,
                      restart_diverged=True, factor=10.0, warm=None,
-                     warm_safe=None, prebuilt=None):
+                     warm_safe=None, prebuilt=None, verbose=True):
     """Low-dispatch batched solve: ``chunk`` lock-step iterations per device
     round-trip (the batched twin of ``solve_device``).
 
@@ -291,10 +300,9 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                 states, bad = reset_diverged(states, states_ref, err_ref,
                                              factor=factor,
                                              err_prev=err_prev)
-                if bool(bad.any()):
-                    print(f"batch chunk {k}: restarted "
-                          f"{int(bad.sum())} diverged/wedged lane(s)",
-                          flush=True)
+                if bool(bad.any()) and verbose:
+                    _log(f"batch chunk {k}: restarted "
+                         f"{int(bad.sum())} diverged/wedged lane(s)")
             err_prev = states.ip.err0
         if opts.mu_force_after > 0:
             # per-lane μ-stall watchdog (see force_stalled_mu); a restarted
@@ -303,9 +311,9 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             stall_b = (jnp.zeros(mu_now.shape, jnp.int32) if mu_prev is None
                        else jnp.where(mu_now == mu_prev, stall_b + chunk, 0))
             states, forced = force_stalled_mu(states, stall_b, opts)
-            if bool(forced.any()):
-                print(f"batch chunk {k}: forced a mu rung on "
-                      f"{int(forced.sum())} stalled lane(s)", flush=True)
+            if bool(forced.any()) and verbose:
+                _log(f"batch chunk {k}: forced a mu rung on "
+                     f"{int(forced.sum())} stalled lane(s)")
                 stall_b = jnp.where(forced, 0, stall_b)
             mu_prev = states.ip.mu
         if callback is not None:
@@ -318,10 +326,11 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
         # chunk lets an external supervisor distinguish "working" from
         # "hung" by log mtime (the convergence pull above already syncs, so
         # this costs nothing extra)
-        print(f"batch heartbeat {k + 1}/{n_chunks}: "
-              f"{int(jnp.sum(states.ip.converged))}/{states.ip.z.shape[0]} "
-              f"converged, err max {float(jnp.max(states.ip.err0)):.2e}",
-              flush=True)
+        if verbose:
+            _log(f"batch heartbeat {k + 1}/{n_chunks}: "
+                 f"{int(jnp.sum(states.ip.converged))}/"
+                 f"{states.ip.z.shape[0]} converged, "
+                 f"err max {float(jnp.max(states.ip.err0)):.2e}")
         if done:
             break
     return states
@@ -371,9 +380,9 @@ def solve_batch_chunked(problem: Problem, z0_batch,
         out["iterations"].append(np.asarray(ip.it))
         out["err"].append(np.asarray(ip.err0))
         if verbose:
-            print(f"batch chunk {a // lanes + 1}/{(B + pad) // lanes}: "
-                  f"{out['converged'][-1].sum()}/{lanes} converged "
-                  f"({time.time() - t0:.1f}s)", flush=True)
+            _log(f"batch chunk {a // lanes + 1}/{(B + pad) // lanes}: "
+                 f"{out['converged'][-1].sum()}/{lanes} converged "
+                 f"({time.time() - t0:.1f}s)")
     res = {k: np.concatenate(v)[:B] for k, v in out.items()}
     return res
 

@@ -17,28 +17,41 @@ STALL_FAST=400     # s without log progress in a heartbeat phase => hung
 STALL_LOAD=1200    # s allowance while the remote executable loads
 PIDFILE="/tmp/batch_bench_supervised.pid"
 
+# a cold jax init over the tunnel was measured at 132 s — a 75-s probe
+# misclassifies a healthy-but-slow tunnel as down (ADVICE r4)
 probe_tunnel() {
-    timeout 75 python -c \
+    timeout 160 python -c \
         "import jax, jax.numpy as j; j.ones(4).sum().block_until_ready()" \
         >/dev/null 2>&1
 }
 
 launch() {
     : > "$LOG"
+    # inner budget stays BELOW the outer `timeout 6500` so the bench
+    # self-limits and emits its final JSON line before the external
+    # SIGTERM (ADVICE r4: the old 7200-s default outlived the kill)
     env GELATO_BENCH_BATCH="${GELATO_BENCH_BATCH:-8}" \
         GELATO_BENCH_BATCH_LANES="${GELATO_BENCH_BATCH_LANES:-8}" \
         GELATO_BENCH_BATCH_CHUNK="${GELATO_BENCH_BATCH_CHUNK:-10}" \
-        GELATO_BENCH_TOTAL="${GELATO_BENCH_TOTAL:-7200}" \
+        GELATO_BENCH_TOTAL="${GELATO_BENCH_TOTAL:-6300}" \
         timeout 6500 python bench.py >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
 }
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     echo "supervisor: attempt $attempt/$MAX_ATTEMPTS at $(date +%H:%M:%S)"
-    until probe_tunnel; do
-        echo "supervisor: tunnel down, waiting 45s"
+    # bounded tunnel-wait: probe failures count toward the attempt budget
+    # instead of spinning forever on a dead tunnel (ADVICE r4)
+    tunnel_ok=0
+    for probe_try in $(seq 1 12); do
+        if probe_tunnel; then tunnel_ok=1; break; fi
+        echo "supervisor: tunnel down (probe $probe_try/12), waiting 45s"
         sleep 45
     done
+    if [ "$tunnel_ok" -ne 1 ]; then
+        echo "supervisor: tunnel never came back — counting attempt $attempt"
+        continue
+    fi
     launch
     PID=$(cat "$PIDFILE")
     while kill -0 "$PID" 2>/dev/null; do
@@ -46,7 +59,10 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
         now=$(date +%s)
         mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
         age=$((now - mt))
-        if tail -1 "$LOG" | grep -q "loop prebuilt"; then
+        # every warm-up-phase line keeps the generous allowance: the remote
+        # toolchain can re-pay executable deserialization (889 s measured)
+        # on a LATER warm-up dispatch, not only the first (ADVICE r4)
+        if tail -1 "$LOG" | grep -Eq "loop prebuilt|warm-up chunk|cache canary"; then
             allow=$STALL_LOAD
         else
             allow=$STALL_FAST
