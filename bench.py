@@ -187,9 +187,11 @@ def _opts(cfg, **over):
                 kkt_method=cfg["kkt_method"], hessian=cfg["hessian"],
                 mu_strategy=cfg.get("mu_strategy", "monotone"),
                 mu_force_after=int(cfg.get("mu_force_after", 0)))
-    # batch-safe control-flow knobs (set via batch_overrides for the
-    # dispersion batch; absent from the single-case cache-warm config)
-    for k in ("batch_safe_loops", "max_soc", "max_inertia_retries"):
+    # batch-safe control-flow + dense-sweep knobs (set via batch_overrides
+    # for the dispersion batch; absent from the single-case cache-warm
+    # config)
+    for k in ("batch_safe_loops", "max_soc", "max_inertia_retries",
+              "struct_sweep", "struct_factor_dtype", "kkt_refine"):
         if k in cfg:
             base[k] = cfg[k]
     base.update(over)

@@ -131,6 +131,19 @@ class IPOptions(NamedTuple):
     # residual (the struct path's stand-in for the chol-NaN inertia oracle;
     # see direction_struct)
     struct_rtol: float = 1.0e-4
+    # How the struct path factors the Schur matrix T̂ = Ĵ D⁻¹ Ĵᵀ + Ĝ:
+    # "scan" = bordered block-tridiagonal lax.scan sweep (low memory,
+    # right for single huge meshes); "dense" = one batched dense Cholesky
+    # on the MXU — the batch/dispersion configuration (the scan sweep is
+    # latency-bound under vmap: measured 2.5 s of the ~2.6 s batched step
+    # at B=8, PERF.md round-4 probe, vs ~0.1 s dense).
+    struct_sweep: str = "scan"
+    # Mixed-precision KKT (SURVEY §7 hard-part #3): factor T̂ in fp32 and
+    # refine in fp64 ("float32"; dense sweep only).  Pair with
+    # kkt_refine >= 2; the struct_rtol residual gate stays the accuracy
+    # oracle, so a factor too coarse for the current conditioning routes
+    # into the δ_w retry instead of silently degrading the step.
+    struct_factor_dtype: str = "float64"
     scale: bool = True  # gradient-based constraint/objective scaling
     scale_max: float = 100.0
     # Lagrangian Hessian mode.  "lbfgs" (damped limited-memory BFGS) is the
@@ -577,7 +590,14 @@ def make_pieces(funcs, lb, ub, opts: IPOptions, struct_meta=None):
                             opts.delta_c)
         gdiag = jnp.concatenate([
             jnp.full(cE.shape[0], delta_c), s / st.lam])
-        fact = structured.factorize(Dd, Vb, cb, JE, JI, gdiag, struct_meta)
+        if opts.struct_sweep == "dense":
+            fdt = (jnp.float32 if opts.struct_factor_dtype == "float32"
+                   else None)
+            fact = structured.factorize_dense(Dd, Vb, cb, JE, JI, gdiag,
+                                              factor_dtype=fdt)
+        else:
+            fact = structured.factorize(Dd, Vb, cb, JE, JI, gdiag,
+                                        struct_meta)
         dz, dyE, w = structured.solve(fact, struct_meta, r1, r2, r3,
                                       opts.kkt_refine)
         # Residual gate — the struct path's inertia/breakdown oracle.  The

@@ -211,6 +211,70 @@ def bordered_solve(tf, rhs_g, rhs_b):
 
 
 # ---------------------------------------------------------------------------
+# dense-Schur sweep (the lanes-batched MXU variant — VERDICT r4 next-step #3)
+
+
+def _chol_solve(L, x):
+    """(L Lᵀ)⁻¹ x with the triangular solves in L's dtype (the factor may be
+    fp32 for the mixed-precision path) and the result cast back to x's."""
+    y = jsl.solve_triangular(L, x.astype(L.dtype), lower=True)
+    return jsl.solve_triangular(L.T, y, lower=False).astype(x.dtype)
+
+
+def factorize_dense(Dd, V, c, JE, JI, gdiag, factor_dtype=None):
+    """Dense-Schur variant of :func:`factorize`: identical math, but T̂ =
+    Ĵ D⁻¹ Ĵᵀ + Ĝ is assembled as ONE dense [m̂, m̂] SPD matrix and factored
+    by a single Cholesky instead of the scan-over-sections bordered sweep.
+
+    Why it exists: the scan sweep is ~10 sequential passes of b×b
+    triangular ops per direction — latency-bound on TPU, and ``vmap``
+    multiplies the work but not the critical path (measured 2.5 s of the
+    ~2.6 s batched step at B=8, PERF.md round-4 probe).  At this problem
+    scale (m̂ ≈ 1e3) one batched dense Cholesky keeps the MXU busy across
+    lanes instead: 96 ms fp64 / 30 ms fp32 measured single-case.  The scan
+    sweep remains the right choice for single huge meshes (S·b ≫ 1e3)
+    where dense m̂² does not fit; the dense sweep is the batch/dispersion
+    configuration.
+
+    ``factor_dtype`` (e.g. ``jnp.float32``) factors T̂ in reduced precision
+    while every residual/refinement stays fp64 — the mixed-precision KKT of
+    SURVEY §7 hard-part #3.  Callers should raise ``n_refine`` to ≥2; the
+    measured relative-residual gate (ip.direction_struct's ``struct_rtol``)
+    remains the accuracy oracle either way.
+
+    Returns an arrays-only dict that :func:`solve`, :func:`h0matvec`,
+    :func:`apply_h0inv` and :func:`kkt_residual` accept interchangeably
+    with :func:`factorize`'s (dispatch is on the presence of ``"L"``).
+    No :class:`StructMeta` is needed — there is no grouping.
+    """
+    J = jnp.concatenate([JE, JI], axis=0)
+    Dinv = 1.0 / Dd
+    W = Dinv[:, None] * V
+    Mcore = jnp.diag(1.0 / c) + V.T @ W
+    qM, rM = jnp.linalg.qr(Mcore)
+    U = J @ W
+
+    T = (J * Dinv[None, :]) @ J.T + jnp.diag(gdiag)
+    if factor_dtype is not None:
+        T = T.astype(factor_dtype)
+    L = jnp.linalg.cholesky(T)
+
+    TiU = _chol_solve(L, U)
+    Cs = Mcore - U.T @ TiU
+    qC, rC = jnp.linalg.qr(Cs)
+    return dict(Dinv=Dinv, V=V, c=c, W=W, qM=qM, rM=rM, U=U, TiU=TiU,
+                qC=qC, rC=rC, J=J, Dd=Dd, gdiag=gdiag, L=L)
+
+
+def _schur_solve_dense(fact, rhs):
+    """Ŝ⁻¹ rhs = (T̂ − U M⁻¹ Uᵀ)⁻¹ rhs via SMW over the dense T̂ factor."""
+    t = _chol_solve(fact["L"], rhs)
+    w = fact["U"].T @ t
+    u = jsl.solve_triangular(fact["rC"], fact["qC"].T @ w, lower=False)
+    return t + fact["TiU"] @ u
+
+
+# ---------------------------------------------------------------------------
 # the structured augmented-KKT factorization
 
 
@@ -285,7 +349,10 @@ def apply_h0inv(fact, x):
 
 
 def _schur_solve(fact, meta: StructMeta, rhs):
-    """Ŝ⁻¹ rhs with Ŝ = T̂ − U M⁻¹ Uᵀ via SMW over the bordered-T̂ factors."""
+    """Ŝ⁻¹ rhs with Ŝ = T̂ − U M⁻¹ Uᵀ via SMW over the bordered-T̂ factors
+    (or the dense T̂ factor — dispatch on the fact dict's contents)."""
+    if "L" in fact:
+        return _schur_solve_dense(fact, rhs)
     gr = jnp.asarray(meta.group_rows)
     gm = jnp.asarray(meta.group_mask)
     br = jnp.asarray(meta.border_rows)
@@ -309,12 +376,14 @@ def _schur_solve(fact, meta: StructMeta, rhs):
     return out
 
 
-def solve(fact, meta: StructMeta, r1, r2, r3, n_refine=1):
+def solve(fact, meta, r1, r2, r3, n_refine=1):
     """Solve the augmented KKT system (module docstring) for
     (dz, dy, w).  ``r2`` spans the equality rows, ``r3`` the inequality
     rows.  Same refinement policy as linalg.kkt_solve: fp64 sweeps over the
-    full residual, best iterate wins."""
+    full residual, best iterate wins.  ``meta`` may be None with a
+    dense-sweep fact (factorize_dense) — no grouping is consulted."""
     J, gdiag = fact["J"], fact["gdiag"]
+    m_eq = r2.shape[0]
     r23 = jnp.concatenate([r2, r3])
 
     def one_solve(b1, b23):
@@ -326,7 +395,7 @@ def solve(fact, meta: StructMeta, r1, r2, r3, n_refine=1):
 
     dz, dyw = one_solve(r1, r23)
     if n_refine <= 0:
-        return dz, dyw[:meta.m_eq], dyw[meta.m_eq:]
+        return dz, dyw[:m_eq], dyw[m_eq:]
 
     def resid(dz, dyw):
         return (r1 - h0matvec(fact, dz) - J.T @ dyw,
@@ -349,7 +418,7 @@ def solve(fact, meta: StructMeta, r1, r2, r3, n_refine=1):
     better = rn < best_rn
     dz = jnp.where(better, dz, best[0])
     dyw = jnp.where(better, dyw, best[1])
-    return dz, dyw[:meta.m_eq], dyw[meta.m_eq:]
+    return dz, dyw[:m_eq], dyw[m_eq:]
 
 
 def kkt_residual(fact, meta, dz, dyw, r1, r23):

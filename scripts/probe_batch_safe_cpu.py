@@ -55,6 +55,17 @@ def main():
                            batch_safe_loops=True, max_soc=0,
                            max_inertia_retries=1, max_iter=400),
         "normal": dict(kkt_method="struct", hessian="lbfgs", max_iter=400),
+        # dense-Schur sweep variants (VERDICT r4 next-step #3/#4): same
+        # batch-safe control flow, T̂ factored by one batched MXU Cholesky
+        "dense": dict(kkt_method="struct", hessian="lbfgs",
+                      batch_safe_loops=True, max_soc=0,
+                      max_inertia_retries=1, max_iter=400,
+                      struct_sweep="dense"),
+        "dense_f32": dict(kkt_method="struct", hessian="lbfgs",
+                          batch_safe_loops=True, max_soc=0,
+                          max_inertia_retries=1, max_iter=400,
+                          struct_sweep="dense",
+                          struct_factor_dtype="float32", kkt_refine=2),
     }
     for name in sys.argv[1:] or list(configs):
         opts = IPOptions(**configs[name])

@@ -36,7 +36,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--pieces", default="eval,errors,trial,dir_struct",
-                    help="comma list: eval,errors,trial,dir_struct,dir_dense")
+                    help="comma list: eval,errors,trial,dir_struct,"
+                         "dir_dense,dir_sdense,dir_sdense32")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -141,6 +142,28 @@ def main():
                       (stB, gB, cEB, cIB, JEB, JIB,
                        tileB(jnp.zeros((n, n))), stB.mu[0])),
     }
+
+    # dense-Schur sweep variants of the struct direction (round-5 kernel
+    # work: one batched MXU Cholesky of T̂ instead of the scan-over-sections
+    # sweep; optionally fp32 factor + fp64 refinement)
+    pieces_sd = make_pieces(funcs_s, lbr, ubr,
+                            opts._replace(struct_sweep="dense"),
+                            struct_meta=funcs.get("struct_meta"))
+    pieces_sd32 = make_pieces(
+        funcs_s, lbr, ubr,
+        opts._replace(struct_sweep="dense",
+                      struct_factor_dtype="float32", kkt_refine=2),
+        struct_meta=funcs.get("struct_meta"))
+    table["dir_sdense"] = (
+        "vmap direction_struct dense-sweep f64 (batched MXU chol)",
+        jax.jit(jax.vmap(pieces_sd["raw"]["direction_struct"],
+                         in_axes=(0, 0, 0, 0, 0, 0, None, None))),
+        (stB, gB, cEB, cIB, JEB, JIB, sVc, stB.mu[0]))
+    table["dir_sdense32"] = (
+        "vmap direction_struct dense-sweep f32 factor + f64 refine",
+        jax.jit(jax.vmap(pieces_sd32["raw"]["direction_struct"],
+                         in_axes=(0, 0, 0, 0, 0, 0, None, None))),
+        (stB, gB, cEB, cIB, JEB, JIB, sVc, stB.mu[0]))
 
     def retry_loop_lane(st1, g1, cE1, cI1, JE1, JI1):
         """A data-dependent bounded while_loop AROUND the struct direction —
