@@ -221,6 +221,18 @@ def _chol_solve(L, x):
     return jsl.solve_triangular(L.T, y, lower=False).astype(x.dtype)
 
 
+def _chol_solve_eq(fact, x):
+    """T̂⁻¹ x through the (possibly equilibrated) factor: with D_eq the
+    symmetric Jacobi scaling stored at factorization, T̂ = D_eq⁻¹ L Lᵀ D_eq⁻¹
+    so T̂⁻¹ x = D_eq (L Lᵀ)⁻¹ (D_eq x)."""
+    deq = fact.get("deq")
+    if deq is None:
+        return _chol_solve(fact["L"], x)
+    xs = deq * x if x.ndim == 1 else deq[:, None] * x
+    y = _chol_solve(fact["L"], xs)
+    return deq * y if y.ndim == 1 else deq[:, None] * y
+
+
 def factorize_dense(Dd, V, c, JE, JI, gdiag, factor_dtype=None):
     """Dense-Schur variant of :func:`factorize`: identical math, but T̂ =
     Ĵ D⁻¹ Ĵᵀ + Ĝ is assembled as ONE dense [m̂, m̂] SPD matrix and factored
@@ -255,20 +267,30 @@ def factorize_dense(Dd, V, c, JE, JI, gdiag, factor_dtype=None):
     U = J @ W
 
     T = (J * Dinv[None, :]) @ J.T + jnp.diag(gdiag)
+    fact = dict(Dinv=Dinv, V=V, c=c, W=W, qM=qM, rM=rM, U=U,
+                J=J, Dd=Dd, gdiag=gdiag)
     if factor_dtype is not None:
+        # symmetric Jacobi equilibration before the reduced-precision cast:
+        # most of T̂'s conditioning is diagonal scale spread (Σ_z spans
+        # ~1e10 across near-active bounds), which a unit-diagonal rescale
+        # removes — the fp32 factor then only has to carry the structural
+        # conditioning.  diag(T̂) > 0 always (D⁻¹ > 0, Ĝ ≥ 0).
+        deq = 1.0 / jnp.sqrt(jnp.diagonal(T))
+        T = T * (deq[:, None] * deq[None, :])
+        fact["deq"] = deq
         T = T.astype(factor_dtype)
-    L = jnp.linalg.cholesky(T)
+    fact["L"] = jnp.linalg.cholesky(T)
 
-    TiU = _chol_solve(L, U)
+    TiU = _chol_solve_eq(fact, U)
     Cs = Mcore - U.T @ TiU
     qC, rC = jnp.linalg.qr(Cs)
-    return dict(Dinv=Dinv, V=V, c=c, W=W, qM=qM, rM=rM, U=U, TiU=TiU,
-                qC=qC, rC=rC, J=J, Dd=Dd, gdiag=gdiag, L=L)
+    fact.update(TiU=TiU, qC=qC, rC=rC)
+    return fact
 
 
 def _schur_solve_dense(fact, rhs):
     """Ŝ⁻¹ rhs = (T̂ − U M⁻¹ Uᵀ)⁻¹ rhs via SMW over the dense T̂ factor."""
-    t = _chol_solve(fact["L"], rhs)
+    t = _chol_solve_eq(fact, rhs)
     w = fact["U"].T @ t
     u = jsl.solve_triangular(fact["rC"], fact["qC"].T @ w, lower=False)
     return t + fact["TiU"] @ u
