@@ -151,7 +151,8 @@ def overlay_warm_batch(problem, states, warm, cases):
                            theta_min=1.0e-4 * theta_w)
 
 
-def reset_diverged(states, states_ref, err_ref, factor=100.0, err_prev=None):
+def reset_diverged(states, states_ref, err_ref, factor=100.0, err_prev=None,
+                   allow=None):
     """Lane-wise divergence restart (batch-robustness twin of
     run_batch.sh's continue-on-failure, run_batch.sh:75-79 — but instead of
     abandoning a failed case, the lane restarts its own μ-ladder).
@@ -175,12 +176,20 @@ def reset_diverged(states, states_ref, err_ref, factor=100.0, err_prev=None):
     budget making zero progress (measured: a struct-KKT dispersion lane
     pinned at err=0.902 for 300+ iterations).
 
+    ``allow`` (optional, (B,) bool): lanes eligible for a restart.  The
+    escalation policy in :func:`solve_batch_scan` parks a lane after
+    ``max_restarts`` — a chronically re-diverging lane otherwise thrashes
+    the restart loop for the whole budget (measured: 7 lanes still
+    restart-looping at the end of the round-5 B=32 run).
+
     Returns ``(states, bad_mask)``.
     """
     bad = (~jnp.isfinite(states.ip.err0)) | (
         (states.ip.err0 > factor * err_ref) & (states.ip.err0 > 100.0))
     if err_prev is not None:
         bad = bad | ((states.ip.err0 == err_prev) & ~states.ip.converged)
+    if allow is not None:
+        bad = bad & allow
 
     def pick(ref, cur):
         b = bad.reshape(bad.shape + (1,) * (cur.ndim - 1))
@@ -285,6 +294,33 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
 
     n_chunks = (opts.max_iter + chunk - 1) // chunk
     states_ref = states_safe if states_safe is not None else states
+    # Restart escalation (round-5 B=32 finding: chronically re-diverging
+    # lanes thrash the single-ladder restart for the whole budget).  First
+    # restart → the conservative μ=1e-3 ladder (states_ref); second →
+    # the same primal state with μ raised to 1e-2 and slacks/duals
+    # re-centered (an even more cautious ladder); after ``max_restarts``
+    # the lane is parked — no further resets, it keeps descending from
+    # wherever it is.  All host-side between dispatches: the compiled
+    # chunk program (and its committed cache entry) is untouched.
+    max_restarts = 3
+    n_restarts_lane = jnp.zeros(z0_batch.shape[0], jnp.int32)
+
+    def _escalate(ss):
+        ip = ss.ip
+        mu2 = jnp.full_like(ip.mu, 1.0e-2)
+        s2 = jnp.maximum(ip.s, 1.0e-4)
+        lam2 = jnp.clip(mu2[:, None] / s2, 1.0e-8, 1.0e8)
+        return ss._replace(ip=ip._replace(mu=mu2, s=s2, lam=lam2))
+
+    states_ref2 = _escalate(states_ref)
+
+    def _per_lane_ref(count):
+        esc = count >= 1
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                esc.reshape(esc.shape + (1,) * (a.ndim - 1)), b, a),
+            states_ref, states_ref2)
+
     err_ref = None
     err_prev = None
     mu_prev = None
@@ -297,12 +333,15 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                 # then every lane has evaluated its true KKT error)
                 err_ref = jnp.maximum(1.0, states.ip.err0)
             else:
-                states, bad = reset_diverged(states, states_ref, err_ref,
-                                             factor=factor,
-                                             err_prev=err_prev)
+                states, bad = reset_diverged(
+                    states, _per_lane_ref(n_restarts_lane), err_ref,
+                    factor=factor, err_prev=err_prev,
+                    allow=n_restarts_lane < max_restarts)
+                n_restarts_lane = n_restarts_lane + bad.astype(jnp.int32)
                 if bool(bad.any()) and verbose:
                     _log(f"batch chunk {k}: restarted "
-                         f"{int(bad.sum())} diverged/wedged lane(s)")
+                         f"{int(bad.sum())} diverged/wedged lane(s) "
+                         f"(counts {np.asarray(n_restarts_lane).tolist()})")
             err_prev = states.ip.err0
         if opts.mu_force_after > 0:
             # per-lane μ-stall watchdog (see force_stalled_mu); a restarted
