@@ -411,31 +411,58 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases, batch_only=False):
         # converged headline if the batch stage got killed mid-run
         _provisional("batch_warmup_done", lanes=lanes, n_cases=n_cases)
     t0 = time.time()
-    res = solve_batch_chunked(problem, zb, opts, cases=cases, lanes=lanes,
-                              warm=warm, warm_safe=warm_safe,
-                              prebuilt=prebuilt,
-                              chunk=chunk)
-    wall = time.time() - t0
     drop = sum(
         i["mass"] for stg in problem.mission.stages.values()
         for i in (stg.get("dropMass") or {}).values()
     )
-    payloads = (res["z"][:, 0] * problem.units.mass
-                - problem.mission.m_init - drop)
-    print(json.dumps({
-        "metric": "dispersion_batch_wall_clock",
-        "value": round(wall, 3),
-        "unit": "s",
-        "vs_baseline": round(
-            n_cases * float(cfg["recorded_cpu_baseline_s"]) / wall, 3),
-        "baseline_source": f"{n_cases} x " + str(cfg["baseline_source"]),
-        "n_cases": n_cases,
-        "lanes": lanes,
-        "n_converged": int(res["converged"].sum()),
-        "s_per_case": round(wall / n_cases, 3),
-        "payload_kg_mean": round(float(payloads.mean()), 3),
-        "payload_kg_std": round(float(payloads.std()), 3),
-    }), flush=True)
+
+    def _emit(res, cases_done, status=None):
+        wall = time.time() - t0
+        payloads = (res["z"][:, 0] * problem.units.mass
+                    - problem.mission.m_init - drop)
+        rec = {
+            "metric": "dispersion_batch_wall_clock",
+            "value": round(wall, 3),
+            "unit": "s",
+            "vs_baseline": round(
+                cases_done * float(cfg["recorded_cpu_baseline_s"]) / wall, 3),
+            "baseline_source": f"{cases_done} x " + str(
+                cfg["baseline_source"]),
+            "n_cases": cases_done,
+            "lanes": lanes,
+            "n_converged": int(res["converged"].sum()),
+            "s_per_case": round(wall / cases_done, 3),
+            "payload_kg_mean": round(float(payloads.mean()), 3),
+            "payload_kg_std": round(float(payloads.std()), 3),
+        }
+        if status:
+            rec["status"] = status
+        print(json.dumps(rec), flush=True)
+
+    # SIGTERM insurance for multi-hour chunked studies: an external timeout
+    # must degrade to an honest PARTIAL artifact assembled from the blocks
+    # that finished, not silence (the per-block accumulator is caller-owned
+    # via solve_batch_chunked's partial_out)
+    import signal
+
+    partial = {"z": [], "converged": [], "iterations": [], "err": []}
+
+    def _on_term(signum, frame):  # pragma: no cover - signal path
+        if partial["converged"]:
+            resp = {k: np.concatenate(v) for k, v in partial.items()}
+            _emit(resp, resp["converged"].shape[0],
+                  status=f"partial:signal{signum}")
+        os._exit(124)
+
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
+    try:
+        res = solve_batch_chunked(problem, zb, opts, cases=cases,
+                                  lanes=lanes, warm=warm,
+                                  warm_safe=warm_safe, prebuilt=prebuilt,
+                                  chunk=chunk, partial_out=partial)
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+    _emit(res, n_cases)
 
 
 _HEADLINE_PRINTED = False

@@ -378,7 +378,8 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
 def solve_batch_chunked(problem: Problem, z0_batch,
                         opts: IPOptions = IPOptions(), cases=None, lanes=32,
                         chunk=40, verbose=True, warm=None, warm_safe=None,
-                        z0_ref=None, colored=False, prebuilt=None):
+                        z0_ref=None, colored=False, prebuilt=None,
+                        partial_out=None):
     """Large dispersion batches as sequential on-chip blocks of ``lanes``
     cases each (all blocks reuse ONE compiled program since shapes match).
 
@@ -405,7 +406,12 @@ def solve_batch_chunked(problem: Problem, z0_batch,
     if prebuilt is None:
         prebuilt = prebuild_batch_loop(problem, opts, chunk=chunk,
                                        z0_ref=z0_ref, colored=colored)
-    out = {"z": [], "converged": [], "iterations": [], "err": []}
+    # ``partial_out``: caller-owned accumulator filled after EVERY completed
+    # block, so a killed long study (SIGTERM from an external timeout) can
+    # still be reported from the blocks that finished — a 3-hour 256-case
+    # run must degrade to an honest partial artifact, not silence
+    out = (partial_out if partial_out is not None
+           else {"z": [], "converged": [], "iterations": [], "err": []})
     for a in range(0, B + pad, lanes):
         sl = slice(a, a + lanes)
         sub = jax.tree.map(lambda x: x[sl], cases)
