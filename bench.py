@@ -317,6 +317,18 @@ def _bench_batch(problem, funcs, z0, cfg, n_cases, batch_only=False):
                                cfg.get("batch_lanes", 32)))
     lanes = min(lanes, n_cases)
     zb, cases = wind_dispersion_batch(problem, n_cases)
+    # resume support: a killed multi-hour study relaunches with
+    # GELATO_BENCH_BATCH_SKIP=<cases already captured> and runs the REST of
+    # the same deterministic dispersion set (same seed → same cases)
+    skip = int(os.environ.get("GELATO_BENCH_BATCH_SKIP", "0"))
+    if skip:
+        import jax as _jax
+
+        zb = zb[skip:]
+        cases = _jax.tree.map(lambda x: x[skip:], cases)
+        n_cases = n_cases - skip
+        _log(f"bench batch: resuming at case {skip} "
+             f"({n_cases} remaining of the same dispersion set)")
     opts = _opts(cfg, max_iter=int(cfg.get("batch_max_iter", 1500)))
     # batch scan length is its own knob: the batched run_chunk executable
     # grows with lanes x chunk, and oversized programs fault the TPU worker
