@@ -357,7 +357,15 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
             mu_prev = states.ip.mu
         if callback is not None:
             callback(k, states)
-        done = bool(jnp.all(states.ip.converged))
+        # a block is done when every lane is converged OR parked (a
+        # 3-restart chronic diverger): measured round-5 blocks ran all 44
+        # chunks for the sake of 2-6 parked lanes that never converge —
+        # ending the block early returns that wall-clock to the study
+        done = bool(jnp.all(states.ip.converged
+                            | (n_restarts_lane >= max_restarts)))
+        if done and not bool(jnp.all(states.ip.converged)) and verbose:
+            _log(f"batch: stopping at chunk {k + 1} — all unconverged "
+                 f"lanes are parked chronic divergers")
         # per-chunk heartbeat (host-side print only — the compiled chunk
         # program is untouched): the remote-TPU tunnel can die mid-run with
         # the client RPC sleeping forever at 0 CPU, and a long batched run
