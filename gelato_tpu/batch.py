@@ -253,7 +253,8 @@ def prebuild_batch_loop(problem: Problem, opts: IPOptions = IPOptions(),
 def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
                      cases=None, mesh=None, chunk=40, callback=None,
                      restart_diverged=True, factor=10.0, warm=None,
-                     warm_safe=None, prebuilt=None, verbose=True):
+                     warm_safe=None, prebuilt=None, verbose=True,
+                     phase2_prebuilt=None, phase_switch_err=1.0):
     """Low-dispatch batched solve: ``chunk`` lock-step iterations per device
     round-trip (the batched twin of ``solve_device``).
 
@@ -263,7 +264,18 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     (:func:`overlay_warm_batch`); ``warm_safe``: a more conservative state
     (typically the same state pushed at μ=1e-3) used as the
     divergence-restart target — restarting a deterministic lane onto the
-    state it just diverged from would diverge again."""
+    state it just diverged from would diverge again.
+
+    ``phase2_prebuilt`` enables TWO-PHASE MIXED PRECISION (round-5 B=32
+    attribution: the fp64 dense KKT factor is ~85% of the batched step,
+    bounded by fp64 *emulation*; the fp32 factor is ~19× but cannot close
+    the endgame): run the transient descent on ``prebuilt`` (built with a
+    cheap configuration, e.g. struct_factor_dtype="float32") and switch —
+    at a chunk boundary, once every unconverged lane's KKT error is below
+    ``phase_switch_err`` — to the accurate ``phase2_prebuilt`` loop.  The
+    two compiled loops share the state pytree, so the swap is free; the
+    switch is per-block (lanes run lock-step in one program).  Lanes keep
+    their per-lane μ/filters across the swap."""
     z0_batch = jnp.asarray(z0_batch)
     if cases is None:
         cases = broadcast_cases(problem, z0_batch.shape[0])
@@ -272,6 +284,7 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     # remote-TPU toolchain even when the persistent compile cache hits
     run_chunk, state0 = prebuilt if prebuilt is not None else \
         prebuild_batch_loop(problem, opts, chunk=chunk)
+    phase = 1 if phase2_prebuilt is not None else 2
     states = jax.vmap(state0)(z0_batch, cases)
     states_safe = None
     if warm is not None:
@@ -327,6 +340,15 @@ def solve_batch_scan(problem: Problem, z0_batch, opts: IPOptions = IPOptions(),
     stall_b = None
     for k in range(n_chunks):
         states = run_chunk(states, cases)
+        if phase == 1:
+            err_u = jnp.where(states.ip.converged, 0.0, states.ip.err0)
+            if bool(jnp.all(jnp.isfinite(err_u) & (err_u < phase_switch_err))):
+                run_chunk = phase2_prebuilt[0]
+                phase = 2
+                if verbose:
+                    _log(f"batch: phase switch at chunk {k + 1} — all "
+                         f"unconverged lanes below {phase_switch_err:g}, "
+                         f"continuing on the accurate loop")
         if restart_diverged:
             if err_ref is None:
                 # per-lane error scale: the first chunk's end state (by
